@@ -1,0 +1,195 @@
+"""Differentiable dense bundle adjustment (training path), pure JAX.
+
+Re-design of /root/reference/droid_slam/geom/ba.py (`BA`, `MoBA`): one damped
+Gauss-Newton step over keyframe poses and per-pixel inverse depth, built from
+the projective-transform Jacobians and solved with a dense Schur complement.
+Fully differentiable — the training loop backprops through this and the
+retraction, exactly like the reference (train.py:110-115).
+
+TPU notes:
+  * Edge lists (ii, jj) are *static* Python/numpy arrays: the training graph
+    is fixed per batch, so scatter targets are resolved at trace time and all
+    segment sums lower to static XLA scatter-adds.
+  * Per-edge block assembly is einsum over the flattened pixel axis — large
+    MXU matmuls at HIGHEST precision.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..lie import se3
+from . import projective
+from .chol import block_solve, schur_solve
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+# residual weighting applied inside BA (reference ba.py:43)
+_W_SCALE = 0.001
+# per-pixel depth damping floor (reference ba.py:91)
+_EP_DEPTH = 1e-7
+
+
+def _static_edges(ii, jj):
+    ii = np.asarray(ii).reshape(-1).astype(np.int64)
+    jj = np.asarray(jj).reshape(-1).astype(np.int64)
+    return ii, jj
+
+
+def _scatter_mat(A, ii, jj, n, m):
+    """Scatter-add per-edge (D,D') blocks into an (n, m) block grid.
+
+    Out-of-range (fixed-pose) indices are dropped, matching
+    safe_scatter_add_mat (reference ba.py:12-14).
+    """
+    v = (ii >= 0) & (jj >= 0) & (ii < n) & (jj < m)
+    idx = np.where(v, ii * m + jj, n * m)  # n*m = drop bucket
+    out = jax.ops.segment_sum(
+        jnp.moveaxis(A, 1, 0), jnp.asarray(idx), num_segments=n * m + 1
+    )[:-1]
+    return jnp.moveaxis(out, 0, 1).reshape((A.shape[0], n, m) + A.shape[2:])
+
+
+def _scatter_vec(b, ii, n):
+    v = (ii >= 0) & (ii < n)
+    idx = np.where(v, ii, n)
+    out = jax.ops.segment_sum(
+        jnp.moveaxis(b, 1, 0), jnp.asarray(idx), num_segments=n + 1
+    )[:-1]
+    return jnp.moveaxis(out, 0, 1)
+
+
+def _linearize(target, weight, poses, disps, intrinsics, ii, jj):
+    """Weighted GN blocks for every edge.
+
+    Returns per-edge Hii/Hij/Hji/Hjj (B,E,6,6), vi/vj (B,E,6),
+    Ei/Ej (B,E,6,HW), Ck/wk (B,E,HW) — the same block structure the
+    reference builds in ba.py:46-90 / projective_transform_kernel.
+    """
+    B, E = target.shape[:2]
+    ht, wd = disps.shape[-2:]
+    HW = ht * wd
+
+    coords, valid, (Ji, Jj, Jz) = projective.projective_transform(
+        poses, disps, intrinsics, jnp.asarray(ii), jnp.asarray(jj), jacobian=True
+    )
+
+    r = (target - coords).reshape(B, E, HW * 2, 1)
+    w = (_W_SCALE * valid * weight).reshape(B, E, HW * 2, 1)
+
+    Ji = Ji.reshape(B, E, HW * 2, 6)
+    Jj = Jj.reshape(B, E, HW * 2, 6)
+    Jz = Jz.reshape(B, E, HW, 2)
+
+    wJi = w * Ji
+    wJj = w * Jj
+
+    def blk(a, b):
+        return jnp.einsum("benk,benl->bekl", a, b, precision=_HIGH)
+
+    Hii, Hij = blk(wJi, Ji), blk(wJi, Jj)
+    Hji, Hjj = blk(wJj, Ji), blk(wJj, Jj)
+    vi = jnp.einsum("benk,beno->bek", wJi, r, precision=_HIGH)
+    vj = jnp.einsum("benk,beno->bek", wJj, r, precision=_HIGH)
+
+    # pose–depth coupling: contract the 2 residual channels against Jz
+    wJi_px = wJi.reshape(B, E, HW, 2, 6)
+    wJj_px = wJj.reshape(B, E, HW, 2, 6)
+    Ei = jnp.einsum("bepck,bepc->bekp", wJi_px, Jz, precision=_HIGH)
+    Ej = jnp.einsum("bepck,bepc->bekp", wJj_px, Jz, precision=_HIGH)
+
+    w_px = w.reshape(B, E, HW, 2)
+    r_px = r.reshape(B, E, HW, 2)
+    Ck = jnp.sum(w_px * Jz * Jz, axis=-1)
+    wk = jnp.sum(w_px * r_px * Jz, axis=-1)
+
+    return Hii, Hij, Hji, Hjj, vi, vj, Ei, Ej, Ck, wk
+
+
+def ba(target, weight, eta, poses, disps, intrinsics, ii, jj,
+       fixedp=1, rig=1, ep=0.1, lm=1e-4):
+    """One full bundle-adjustment step (reference geom/ba.py:31-106).
+
+    Args:
+      target, weight: (B, E, H, W, 2).
+      eta: (B, M, H, W) per-pixel depth damping for the M unique source
+        frames (M = len(unique(ii))).
+      poses: (B, P, 7); disps: (B, P, H, W); intrinsics: (B, P, 4).
+      ii, jj: static (E,) numpy edge lists.
+      fixedp: number of anchored poses at the start of the window.
+
+    Returns updated (poses, disps).
+    """
+    ii, jj = _static_edges(ii, jj)
+    B, P = poses.shape[:2]
+    ht, wd = disps.shape[-2:]
+    HW = ht * wd
+
+    blocks = _linearize(target, weight, poses, disps, intrinsics, ii, jj)
+    Hii, Hij, Hji, Hjj, vi, vj, Ei, Ej, Ck, wk = blocks
+
+    kx, kk = np.unique(ii, return_inverse=True)
+    M = kx.shape[0]
+
+    # only optimize keyframe poses (drop the first `fixedp`)
+    Pp = P // rig - fixedp
+    iio = ii // rig - fixedp
+    jjo = jj // rig - fixedp
+
+    H = (
+        _scatter_mat(Hii, iio, iio, Pp, Pp)
+        + _scatter_mat(Hij, iio, jjo, Pp, Pp)
+        + _scatter_mat(Hji, jjo, iio, Pp, Pp)
+        + _scatter_mat(Hjj, jjo, jjo, Pp, Pp)
+    )
+    E_mat = (
+        _scatter_mat(Ei, iio, kk, Pp, M) + _scatter_mat(Ej, jjo, kk, Pp, M)
+    )
+    v = _scatter_vec(vi, iio, Pp) + _scatter_vec(vj, jjo, Pp)
+    C = _scatter_vec(Ck, kk, M)
+    w = _scatter_vec(wk, kk, M)
+
+    C = C + eta.reshape(B, M, HW) + _EP_DEPTH
+
+    dx, dz = schur_solve(H, E_mat, C, v, w, ep=ep, lm=lm)
+
+    # retraction: scatter dx back to absolute pose indices
+    dx_full = jnp.zeros((B, P, 6), poses.dtype)
+    dx_full = dx_full.at[:, fixedp:fixedp + Pp].set(dx)
+    poses = se3.retr(poses, dx_full)
+
+    dz_full = jnp.zeros((B, P, HW), disps.dtype)
+    dz_full = dz_full.at[:, jnp.asarray(kx)].add(dz)
+    disps = disps + dz_full.reshape(B, P, ht, wd)
+
+    disps = jnp.where(disps > 10.0, jnp.zeros_like(disps), disps)
+    disps = jnp.maximum(disps, 0.0)
+    return poses, disps
+
+
+def moba(target, weight, poses, disps, intrinsics, ii, jj,
+         fixedp=1, rig=1, ep=0.1, lm=1e-4):
+    """Motion-only bundle adjustment (reference geom/ba.py:109-157)."""
+    ii, jj = _static_edges(ii, jj)
+    B, P = poses.shape[:2]
+
+    blocks = _linearize(target, weight, poses, disps, intrinsics, ii, jj)
+    Hii, Hij, Hji, Hjj, vi, vj = blocks[:6]
+
+    Pp = P // rig - fixedp
+    iio = ii // rig - fixedp
+    jjo = jj // rig - fixedp
+
+    H = (
+        _scatter_mat(Hii, iio, iio, Pp, Pp)
+        + _scatter_mat(Hij, iio, jjo, Pp, Pp)
+        + _scatter_mat(Hji, jjo, iio, Pp, Pp)
+        + _scatter_mat(Hjj, jjo, jjo, Pp, Pp)
+    )
+    v = _scatter_vec(vi, iio, Pp) + _scatter_vec(vj, jjo, Pp)
+
+    dx = block_solve(H, v, ep=ep, lm=lm)
+
+    dx_full = jnp.zeros((B, P, 6), poses.dtype)
+    dx_full = dx_full.at[:, fixedp:fixedp + Pp].set(dx)
+    return se3.retr(poses, dx_full)

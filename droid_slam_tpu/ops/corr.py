@@ -1,0 +1,219 @@
+"""Correlation volumes and windowed bilinear lookups.
+
+Re-design of the reference's correlation stack:
+  * `CorrBlock` — precomputed all-pairs volume + 4-level average-pooled
+    pyramid + (2r+1)² bilinear window lookup
+    (/root/reference/droid_slam/modules/corr.py:23-71,
+     /root/reference/src/correlation_kernels.cu:20-124).
+  * `AltCorrBlock` — memory-light on-the-fly correlation: dot products of
+    fmap1 against bilinearly-sampled fmap2 in the lookup window
+    (/root/reference/droid_slam/modules/corr.py:91-139,
+     /root/reference/src/altcorr_kernel.cu:28-149).
+
+TPU design:
+  * Layout is channels-last (..., H, W, C) with C = 128 = one VPU lane row.
+  * Volume construction is a single bf16 einsum (MXU); lookups are batched
+    gathers expressed with take_along_axis so XLA lowers them to dynamic
+    gathers over a flattened last axis.
+  * Tap/channel ordering matches the CUDA kernel exactly: channel index is
+    ``ox * (2r+1) + oy`` (x-offset major), sample position
+    ``(x + ox - r, y + oy - r)``, zero contribution from out-of-bounds
+    bilinear corners (correlation_kernels.cu:47-68).
+  * A Pallas kernel for the lookup lives in corr_pallas.py; this module is
+    the reference implementation and the fallback path.
+
+Functional API (no classes): pytrees of arrays in, arrays out, jit-safe.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NUM_LEVELS = 4
+RADIUS = 3
+
+
+def corr_volume(fmap1, fmap2):
+    """All-pairs correlation volume.
+
+    Args:
+      fmap1, fmap2: (B, N, H, W, C) feature maps.
+    Returns:
+      (B, N, H, W, H, W) volume = <fmap1/4, fmap2/4> (corr.py:103-110).
+    """
+    B, N, H, W, C = fmap1.shape
+    f1 = (fmap1 / 4.0).reshape(B * N, H * W, C)
+    f2 = (fmap2 / 4.0).reshape(B * N, H * W, C)
+    corr = jnp.einsum(
+        "qic,qjc->qij", f1, f2, preferred_element_type=jnp.float32
+    )
+    return corr.reshape(B, N, H, W, H, W)
+
+
+def _avg_pool2(x):
+    """2×2 average pool over the last two spatial dims of (..., H, W)."""
+    shape = x.shape
+    H, W = shape[-2], shape[-1]
+    x = x.reshape(shape[:-2] + (H // 2, 2, W // 2, 2))
+    return x.mean(axis=(-3, -1))
+
+
+def build_pyramid(volume, num_levels=NUM_LEVELS):
+    """Average-pool the target dims of the volume into a pyramid.
+
+    volume: (B, N, H, W, H2, W2) -> list of (B, N, H, W, H2/2^l, W2/2^l).
+    """
+    pyramid = [volume]
+    for _ in range(num_levels - 1):
+        volume = _avg_pool2(volume)
+        pyramid.append(volume)
+    return pyramid
+
+
+def _bilinear_taps(coords, radius, h2, w2):
+    """Tap positions, weights, and flat gather indices for a lookup window.
+
+    Args:
+      coords: (..., 2) float [x, y] sample centers.
+    Returns:
+      idx: (..., T*4) int32 flat indices into an (h2*w2,) axis (clipped),
+      w:   (..., T*4) float weights (zero where out of bounds),
+      with T = (2r+1)² taps ordered x-offset major.
+    """
+    r = radius
+    rd = 2 * r + 1
+    x0 = jnp.floor(coords[..., 0])
+    y0 = jnp.floor(coords[..., 1])
+    dx = coords[..., 0] - x0
+    dy = coords[..., 1] - y0
+
+    ox = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    oy = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    # (T,) offsets, x-major ordering to match the CUDA channel layout
+    off_x = jnp.repeat(ox, rd)
+    off_y = jnp.tile(oy, rd)
+
+    # integer corner bases per tap: (..., T)
+    xb = x0[..., None] + off_x
+    yb = y0[..., None] + off_y
+
+    # 4 bilinear corners: (0,0), (1,0), (0,1), (1,1) in (x, y)
+    cx = jnp.stack([xb, xb + 1, xb, xb + 1], axis=-1)       # (..., T, 4)
+    cy = jnp.stack([yb, yb, yb + 1, yb + 1], axis=-1)
+    wx = jnp.stack([1 - dx, dx, 1 - dx, dx], axis=-1)[..., None, :]
+    wy = jnp.stack([1 - dy, 1 - dy, dy, dy], axis=-1)[..., None, :]
+    w = wx * wy                                             # (..., T, 4)
+
+    valid = (cx >= 0) & (cx < w2) & (cy >= 0) & (cy < h2)
+    w = jnp.where(valid, w, 0.0)
+
+    cxi = jnp.clip(cx.astype(jnp.int32), 0, w2 - 1)
+    cyi = jnp.clip(cy.astype(jnp.int32), 0, h2 - 1)
+    idx = cyi * w2 + cxi
+
+    T4 = (rd * rd) * 4
+    return idx.reshape(idx.shape[:-2] + (T4,)), w.reshape(w.shape[:-2] + (T4,))
+
+
+def lookup_level(volume_level, coords, radius=RADIUS):
+    """Windowed bilinear lookup on one pyramid level.
+
+    Args:
+      volume_level: (B, N, H, W, h2, w2).
+      coords: (B, N, H, W, 2) float [x, y] in level-resolution units.
+    Returns:
+      (B, N, H, W, (2r+1)²) correlation taps.
+    """
+    B, N, H, W, h2, w2 = volume_level.shape
+    vol = volume_level.reshape(B * N * H * W, h2 * w2)
+    idx, w = _bilinear_taps(coords.reshape(-1, 2), radius, h2, w2)
+    vals = jnp.take_along_axis(vol, idx, axis=-1)
+    T = (2 * radius + 1) ** 2
+    out = (vals.astype(jnp.float32) * w).reshape(-1, T, 4).sum(-1)
+    return out.reshape(B, N, H, W, T)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def lookup_pyramid(pyramid, coords, radius=RADIUS):
+    """Full pyramid lookup: concat taps of all levels along channels.
+
+    coords: (B, N, H, W, 2) at level-0 resolution.
+    Returns (B, N, H, W, L*(2r+1)²) fp32 — the update operator's corr input
+    (cor_planes = 4*(2*3+1)² = 196, droid_net.py:81).
+    """
+    outs = [
+        lookup_level(vol, coords / (2.0 ** l), radius)
+        for l, vol in enumerate(pyramid)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# On-the-fly ("alt") correlation: no precomputed volume.
+# ---------------------------------------------------------------------------
+
+
+def fmap_pyramid(fmaps, num_levels=NUM_LEVELS):
+    """Average-pool feature maps (B, N, H, W, C) into a pyramid.
+
+    Matches AltCorrBlock's construction (corr.py:116-124): level 0 is the
+    full-resolution map; deeper levels pool *features*, not the volume.
+    """
+    fmaps = fmaps / 4.0
+    pyramid = [fmaps]
+    x = fmaps
+    for _ in range(num_levels - 1):
+        x = _avg_pool2(jnp.moveaxis(x, -1, -3))
+        x = jnp.moveaxis(x, -3, -1)
+        pyramid.append(x)
+    return pyramid
+
+
+def alt_lookup_level(fmap1, fmap2_level, coords, radius=RADIUS):
+    """On-the-fly correlation taps for one level.
+
+    Args:
+      fmap1: (E, H, W, C) level-0 source features (already /4).
+      fmap2_level: (E, h2, w2, C) pooled target features (already /4).
+      coords: (E, H, W, 2) float [x, y] in level units.
+    Returns:
+      (E, H, W, (2r+1)²) fp32 taps: dot(fmap1[p], bilinear(fmap2_level, tap)).
+    """
+    E, H, W, C = fmap1.shape
+    h2, w2 = fmap2_level.shape[1:3]
+    T = (2 * radius + 1) ** 2
+
+    idx, w = _bilinear_taps(coords, radius, h2, w2)      # (E,H,W,T4)
+    f2 = fmap2_level.reshape(E, h2 * w2, C)
+
+    # gather corners: (E, H*W*T4, C)
+    g = jnp.take_along_axis(
+        f2[:, :, :], idx.reshape(E, -1)[..., None], axis=1
+    )
+    g = g.reshape(E, H, W, T * 4, C).astype(jnp.float32)
+    w4 = w.reshape(E, H, W, T, 4)
+    samples = (
+        g.reshape(E, H, W, T, 4, C) * w4[..., None]
+    ).sum(axis=-2)                                        # (E,H,W,T,C)
+    corr = jnp.einsum(
+        "ehwtc,ehwc->ehwt", samples, fmap1.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return corr
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def alt_lookup_pyramid(pyr1_l0, fmap2_pyramid, coords, radius=RADIUS):
+    """Alt-corr over all levels; channel layout matches lookup_pyramid.
+
+    Args:
+      pyr1_l0: (E, H, W, C) level-0 source features (already /4).
+      fmap2_pyramid: list of (E, h2, w2, C) pooled target features.
+      coords: (E, H, W, 2) at level-0 resolution.
+    """
+    outs = [
+        alt_lookup_level(pyr1_l0, f2, coords / (2.0 ** l), radius)
+        for l, f2 in enumerate(fmap2_pyramid)
+    ]
+    return jnp.concatenate(outs, axis=-1)
