@@ -1,0 +1,83 @@
+"""Benchmark: frontend keyframe throughput on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the steady-state SLAM frontend loop (motion filter encode + 4-6
+update-operator rounds + dense BA per keyframe) on a synthetic 240x320
+stream with filter_thresh=0 (every frame becomes a keyframe), after a
+compile warm-up.  This is the per-chip hot loop the reference runs on GPU
+(SURVEY.md §3.1).
+
+vs_baseline uses 8.0 keyframes/s as the reference-class GPU rate: the
+reference advertises real-time (~30 fps input) tracking where roughly 1 in
+4 frames becomes a keyframe on standard sequences (motion_filter thresh
+2.4), i.e. ~8 keyframe updates/s sustained.  The reference publishes no
+in-repo numbers (BASELINE.md), so this anchor is documented, not measured.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_KEYFRAMES_PER_S = 8.0
+
+H, W = 240, 320
+
+
+def synth_frame(t, rng):
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = (
+        127 + 60 * np.sin(0.15 * (x + 4 * t)) * np.cos(0.12 * (y + 3 * t))
+        + 40 * np.sin(0.04 * (x - y + 6 * t))
+    )
+    img = np.clip(img + rng.normal(0, 2, (H, W)), 0, 255).astype(np.uint8)
+    return np.stack([img] * 3, axis=-1)
+
+
+def main():
+    import jax
+
+    from droid_slam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from droid_slam_tpu.config import SLAMConfig
+    from droid_slam_tpu.runtime.frontend import Frontend
+    from droid_slam_tpu.runtime.motion_filter import MotionFilter
+    from droid_slam_tpu.runtime.state import DepthVideo
+    from droid_slam_tpu.runtime.slam import Droid
+
+    cfg = SLAMConfig(
+        image_size=(H, W), buffer=96, warmup=8, filter_thresh=0.0,
+    )
+    droid = Droid(cfg, seed=0)
+
+    rng = np.random.default_rng(0)
+    intr = np.asarray([265.0, 265.0, W / 2, H / 2], np.float32)
+
+    n_warm = 14       # includes initialization at warmup=8 + steady frames
+    n_bench = 20
+
+    frames = [synth_frame(t, rng) for t in range(n_warm + n_bench)]
+
+    for t in range(n_warm):
+        droid.track(t, frames[t], intrinsics=intr)
+    jax.block_until_ready(droid.video.state.poses)
+
+    t_start = time.perf_counter()
+    for t in range(n_warm, n_warm + n_bench):
+        droid.track(t, frames[t], intrinsics=intr)
+    jax.block_until_ready(droid.video.state.poses)
+    elapsed = time.perf_counter() - t_start
+
+    kf_per_s = n_bench / elapsed
+    print(json.dumps({
+        "metric": "frontend_keyframes_per_s_240x320",
+        "value": round(kf_per_s, 3),
+        "unit": "keyframes/s",
+        "vs_baseline": round(kf_per_s / BASELINE_KEYFRAMES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Synthetic textured-plane scenes with exact ground truth.
+
+The environment has no SLAM datasets, so tests and benchmarks render their
+own: a camera moving in front of a textured fronto-parallel plane, with
+analytically exact depth maps and poses.  `write_tartanair_scene` emits the
+TartanAir on-disk layout (image_left/*.png, depth_left/*.npy,
+pose_left.txt in NED order, ×DEPTH_SCALE) so the real dataset reader and
+covisibility pipeline are exercised end-to-end — the test strategy
+SURVEY.md §4 prescribes for a reference with no test suite.
+"""
+
+import os
+import os.path as osp
+
+import numpy as np
+
+from ..lie import se3
+
+
+def _texture(rng, size=512):
+    """Smooth random RGB texture via upsampled noise octaves."""
+    tex = np.zeros((size, size, 3), np.float32)
+    for octave, amp in [(8, 80), (32, 50), (128, 25)]:
+        import cv2
+        noise = rng.random((octave, octave, 3)).astype(np.float32)
+        tex += amp * cv2.resize(noise, (size, size),
+                                interpolation=cv2.INTER_LINEAR)
+    tex = 255 * (tex - tex.min()) / (np.ptp(tex) + 1e-6)
+    return tex.astype(np.float32)
+
+
+def render_plane_scene(n_frames=12, H=96, W=128, plane_z=2.0, seed=0,
+                       motion_scale=0.04):
+    """Render a camera trajectory viewing the plane z = plane_z.
+
+    Returns dict(images (N,H,W,3) uint8 RGB, poses_c2w (N,7),
+    depths (N,H,W) f32, intrinsics (N,4)).
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    tex = _texture(rng)
+    tex_size = tex.shape[0]
+    fx = fy = 0.9 * W
+    cx, cy = W / 2, H / 2
+    intr = np.array([fx, fy, cx, cy], np.float32)
+
+    # smooth random walk (c2w): mostly lateral translation + small rotation
+    steps = motion_scale * rng.standard_normal((n_frames, 6))
+    steps[:, 2] *= 0.3       # limit z motion
+    steps[:, 3:] *= 0.3      # limit rotation
+    steps[0] = 0
+    xi = np.cumsum(steps, axis=0)
+    poses_c2w = np.asarray(se3.exp(xi.astype(np.float32)))
+
+    # world->texture mapping: 1 world unit = tex_size/4 px, centered
+    w2t = tex_size / 4.0
+
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    dirs = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
+    )
+
+    images, depths = [], []
+    import jax.numpy as jnp
+    from ..lie import so3
+
+    for n in range(n_frames):
+        g = poses_c2w[n]
+        Rd = np.asarray(so3.act(jnp.asarray(g[3:7]), jnp.asarray(
+            dirs.reshape(-1, 3)))).reshape(H, W, 3)
+        o = g[:3]
+        t = (plane_z - o[2]) / np.maximum(Rd[..., 2], 1e-6)
+        pw = o + t[..., None] * Rd                    # world points
+        # dirs has camera-z component 1, so the camera z-depth of the
+        # intersection is exactly the ray parameter t
+        depth = t
+
+        u = pw[..., 0] * w2t + tex_size / 2
+        v = pw[..., 1] * w2t + tex_size / 2
+        img = cv2.remap(
+            tex, u.astype(np.float32), v.astype(np.float32),
+            interpolation=cv2.INTER_LINEAR, borderMode=cv2.BORDER_WRAP,
+        )
+        images.append(np.clip(img, 0, 255).astype(np.uint8))
+        depths.append(depth.astype(np.float32))
+
+    return dict(
+        images=np.stack(images), poses_c2w=poses_c2w.astype(np.float32),
+        depths=np.stack(depths), intrinsics=np.tile(intr, (n_frames, 1)),
+    )
+
+
+# inverse of the reader's NED permutation [1,2,0,4,5,3,6] (tartan.py)
+_NED_INV = [2, 0, 1, 5, 3, 4, 6]
+
+
+def write_tartanair_scene(root, scene="synth/synth/Easy/P001", n_frames=12,
+                          H=96, W=128, seed=0, depth_scale=5.0):
+    """Write a rendered scene in TartanAir's on-disk format."""
+    import cv2
+
+    data = render_plane_scene(n_frames, H, W, seed=seed)
+    sdir = osp.join(root, scene)
+    os.makedirs(osp.join(sdir, "image_left"), exist_ok=True)
+    os.makedirs(osp.join(sdir, "depth_left"), exist_ok=True)
+
+    for n in range(n_frames):
+        cv2.imwrite(
+            osp.join(sdir, "image_left", f"{n:06d}_left.png"),
+            cv2.cvtColor(data["images"][n], cv2.COLOR_RGB2BGR),
+        )
+        np.save(
+            osp.join(sdir, "depth_left", f"{n:06d}_left_depth.npy"),
+            data["depths"][n] * depth_scale,
+        )
+
+    poses = data["poses_c2w"].copy()
+    poses[:, :3] *= depth_scale
+    np.savetxt(osp.join(sdir, "pose_left.txt"), poses[:, _NED_INV],
+               delimiter=" ")
+    return data

@@ -46,9 +46,15 @@ def from_se3(g_se3):
 
 
 def scale_by(g, factor):
-    """Multiply the scale component (lietorch ``Sim3.scale``)."""
-    factor = jnp.broadcast_to(jnp.asarray(factor, dtype=g.dtype), g[..., 7:8].shape)
-    return jnp.concatenate([g[..., :7], g[..., 7:8] * factor], axis=-1)
+    """Left-multiply by a pure scaling element (lietorch ``Sim3.scale``):
+    (0, I, s) ∘ (t, R, σ) = (s·t, R, s·σ) — both the translation and the
+    scale component are multiplied."""
+    factor = jnp.broadcast_to(
+        jnp.asarray(factor, dtype=g.dtype), g[..., 7:8].shape
+    )
+    return jnp.concatenate(
+        [g[..., :3] * factor, g[..., 3:7], g[..., 7:8] * factor], axis=-1
+    )
 
 
 def mul(g1, g2):

@@ -52,10 +52,13 @@ def corr_volume(fmap1, fmap2):
 
 
 def _avg_pool2(x):
-    """2×2 average pool over the last two spatial dims of (..., H, W)."""
+    """2×2 stride-2 average pool over the last two dims of (..., H, W).
+
+    Floors odd trailing rows/cols like torch F.avg_pool2d (corr.py:70).
+    """
     shape = x.shape
-    H, W = shape[-2], shape[-1]
-    x = x.reshape(shape[:-2] + (H // 2, 2, W // 2, 2))
+    H, W = shape[-2] // 2 * 2, shape[-1] // 2 * 2
+    x = x[..., :H, :W].reshape(shape[:-2] + (H // 2, 2, W // 2, 2))
     return x.mean(axis=(-3, -1))
 
 

@@ -1,0 +1,76 @@
+"""Top-level SLAM system API.
+
+Re-design of /root/reference/droid_slam/droid.py: composition of the
+motion filter, frontend, backend, and trajectory filler over the shared
+keyframe map, with `track()` per frame and `terminate()` producing the
+final camera trajectory (two global-BA passes + trajectory fill).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SLAMConfig
+from ..lie import se3
+from ..models.droidnet import DroidNet
+from .backend import Backend
+from .frontend import Frontend
+from .motion_filter import MotionFilter
+from .state import DepthVideo
+from .trajectory_filler import TrajectoryFiller
+
+
+class Droid:
+    def __init__(self, config: SLAMConfig, params=None, weights_path=None,
+                 seed=0):
+        self.cfg = config
+        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
+        self.net = DroidNet(dtype=dtype)
+
+        if params is None and weights_path is not None:
+            from ..models.convert import load_reference_weights
+            params = load_reference_weights(weights_path)
+        if params is None:
+            params = self._random_params(seed)
+        self.params = params
+
+        self.video = DepthVideo(config)
+        self.filter = MotionFilter(self.net, params, self.video,
+                                   thresh=config.filter_thresh)
+        self.frontend = Frontend(self.net, params, self.video, config)
+        self.backend = Backend(self.net, params, self.video, config)
+        self.traj_filler = TrajectoryFiller(self.net, params, self.video,
+                                            config)
+
+    def _random_params(self, seed):
+        H, W = self.cfg.image_size
+        img = jnp.zeros((1, 2, H, W, 3))
+        return self.net.init(
+            jax.random.PRNGKey(seed), se3.identity((1, 2)), img,
+            jnp.ones((1, 2, H // 8, W // 8)),
+            jnp.asarray([[[8.0, 8.0, W / 16, H / 16]] * 2]),
+            np.array([0]), np.array([1]), num_steps=1,
+        )
+
+    def track(self, tstamp, image, depth=None, intrinsics=None):
+        """Ingest one frame: motion filter + frontend (droid.py:61-72)."""
+        self.filter.track(tstamp, image, depth, intrinsics)
+        self.frontend()
+
+    def terminate(self, stream=None, backend_steps=(7, 12)):
+        """Final global optimization + trajectory fill (droid.py:74-88).
+
+        Returns (n, 7) c2w poses [t, q] for every frame of `stream`
+        (or keyframe poses if no stream is given).
+        """
+        del self.frontend
+
+        for steps in backend_steps:
+            self.backend(steps)
+
+        if stream is not None:
+            traj_w2c = self.traj_filler(stream)
+        else:
+            traj_w2c = np.array(self.video.state.poses[: self.video.counter])
+
+        return np.asarray(se3.inv(jnp.asarray(traj_w2c)))

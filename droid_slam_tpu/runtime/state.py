@@ -1,0 +1,203 @@
+"""Keyframe map state: fixed-capacity device buffers + host counter.
+
+Re-design of the reference's DepthVideo
+(/root/reference/droid_slam/depth_video.py): pre-allocated per-keyframe
+buffers (timestamps, poses, inverse depths, sensor depths, intrinsics,
+correlation/context/GRU features) plus geometric ops (reproject, frame
+distance, BA dispatch, gauge normalization).
+
+TPU design: the state is a single pytree of fixed-shape device arrays —
+no shared-memory multiprocessing; every mutation is a jit-compiled
+functional update (XLA donates and updates in place).  The keyframe
+counter and bookkeeping live on the host.
+"""
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lie import se3
+from ..geom import projective
+from ..ops import dba, distance
+
+
+@flax.struct.dataclass
+class VideoState:
+    tstamp: jnp.ndarray        # (BUF,) f32
+    images: jnp.ndarray        # (BUF, H, W, 3) uint8 (vis/debug only)
+    poses: jnp.ndarray         # (BUF, 7) f32, w2c
+    disps: jnp.ndarray         # (BUF, h, w) f32, init 1
+    disps_sens: jnp.ndarray    # (BUF, h, w) f32
+    disps_up: jnp.ndarray      # (BUF, H, W) f32
+    intrinsics: jnp.ndarray    # (BUF, 4) f32 at 1/8 resolution
+    fmaps: jnp.ndarray         # (BUF, rig, h, w, 128) bf16
+    nets: jnp.ndarray          # (BUF, h, w, 128) f32
+    inps: jnp.ndarray          # (BUF, h, w, 128) f32
+    damping: jnp.ndarray       # (BUF, h, w) f32 (factor_graph.damping)
+
+
+def init_state(buffer, image_size, stereo=False):
+    H, W = image_size
+    h, w = H // 8, W // 8
+    rig = 2 if stereo else 1
+    return VideoState(
+        tstamp=jnp.zeros((buffer,), jnp.float32),
+        images=jnp.zeros((buffer, H, W, 3), jnp.uint8),
+        poses=jnp.tile(
+            jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (buffer, 1)
+        ),
+        disps=jnp.ones((buffer, h, w), jnp.float32),
+        disps_sens=jnp.zeros((buffer, h, w), jnp.float32),
+        disps_up=jnp.zeros((buffer, H, W), jnp.float32),
+        intrinsics=jnp.zeros((buffer, 4), jnp.float32),
+        fmaps=jnp.zeros((buffer, rig, h, w, 128), jnp.bfloat16),
+        nets=jnp.zeros((buffer, h, w, 128), jnp.float32),
+        inps=jnp.zeros((buffer, h, w, 128), jnp.float32),
+        damping=1e-6 * jnp.ones((buffer, h, w), jnp.float32),
+    )
+
+
+@jax.jit
+def _append(state, idx, tstamp, image, pose, disp, disp_sens, intr,
+            fmap, net, inp):
+    return state.replace(
+        tstamp=state.tstamp.at[idx].set(tstamp),
+        images=state.images.at[idx].set(image),
+        poses=state.poses.at[idx].set(pose),
+        disps=state.disps.at[idx].set(disp),
+        disps_sens=state.disps_sens.at[idx].set(disp_sens),
+        intrinsics=state.intrinsics.at[idx].set(intr),
+        fmaps=state.fmaps.at[idx].set(fmap),
+        nets=state.nets.at[idx].set(net),
+        inps=state.inps.at[idx].set(inp),
+    )
+
+
+@jax.jit
+def _copy_slot(state, dst, src):
+    """Copy keyframe src -> dst (rm_keyframe shift, factor_graph.py:164-181)."""
+    def cp(arr):
+        return arr.at[dst].set(arr[src])
+
+    return state.replace(
+        tstamp=cp(state.tstamp), images=cp(state.images),
+        poses=cp(state.poses), disps=cp(state.disps),
+        disps_sens=cp(state.disps_sens), intrinsics=cp(state.intrinsics),
+        fmaps=cp(state.fmaps), nets=cp(state.nets), inps=cp(state.inps),
+    )
+
+
+@jax.jit
+def _normalize(state, count):
+    """Fix the monocular scale gauge: mean disparity -> 1
+    (depth_video.py:129-136)."""
+    mask = (jnp.arange(state.disps.shape[0]) < count)
+    s = jnp.sum(
+        jnp.where(mask[:, None, None], state.disps, 0.0)
+    ) / (jnp.sum(mask) * state.disps.shape[1] * state.disps.shape[2])
+    disps = jnp.where(mask[:, None, None], state.disps / s, state.disps)
+    t_scaled = state.poses[:, :3] * s
+    poses = jnp.where(
+        mask[:, None],
+        jnp.concatenate([t_scaled, state.poses[:, 3:]], axis=-1),
+        state.poses,
+    )
+    return state.replace(disps=disps, poses=poses)
+
+
+class DepthVideo:
+    """Host wrapper: counter + functional updates of the VideoState pytree."""
+
+    def __init__(self, config):
+        self.cfg = config
+        self.counter = 0
+        self.ready = False
+        self.state = init_state(config.buffer, config.image_size,
+                                config.stereo)
+        self.ht, self.wd = config.image_size
+        self.fht, self.fwd = self.ht // 8, self.wd // 8
+
+    # -- mutation ----------------------------------------------------------
+
+    def append(self, tstamp, image, pose, disp, depth, intrinsics,
+               fmap, net, inp):
+        """Add a keyframe (depth_video.py:46-103 analog).
+
+        depth: optional full-res metric depth; subsampled at pixel centers
+        [3::8, 3::8] and inverted (depth_video.py:64-65).
+        """
+        if depth is not None:
+            d = np.asarray(depth)[3::8, 3::8]
+            disp_sens = np.where(d > 0, 1.0 / np.maximum(d, 1e-8), 0.0)
+        else:
+            disp_sens = np.zeros((self.fht, self.fwd), np.float32)
+        if disp is None:
+            disp = np.ones((self.fht, self.fwd), np.float32)
+        elif np.ndim(disp) == 0:
+            disp = np.full((self.fht, self.fwd), float(disp), np.float32)
+        if pose is None:
+            pose = self.state.poses[max(self.counter - 1, 0)]
+
+        self.state = _append(
+            self.state, self.counter, tstamp, image, pose, disp,
+            jnp.asarray(disp_sens, jnp.float32), intrinsics,
+            fmap, net, inp,
+        )
+        self.counter += 1
+
+    def copy_slot(self, dst, src):
+        self.state = _copy_slot(self.state, dst, src)
+
+    def normalize(self):
+        self.state = _normalize(self.state, self.counter)
+
+    # -- geometry ----------------------------------------------------------
+
+    def reproject(self, ii, jj):
+        coords, valid = projective.projective_transform(
+            self.state.poses[None], self.state.disps[None],
+            self.state.intrinsics[None], jnp.asarray(ii), jnp.asarray(jj),
+        )
+        return coords[0], valid[0]
+
+    def distance(self, ii, jj, beta=0.3, bidirectional=True):
+        ii = jnp.asarray(ii, jnp.int32).reshape(-1)
+        jj = jnp.asarray(jj, jnp.int32).reshape(-1)
+        intr = self.state.intrinsics[0]
+        d = distance.frame_distance(
+            self.state.poses, self.state.disps, intr, ii, jj, beta
+        )
+        if bidirectional:
+            d2 = distance.frame_distance(
+                self.state.poses, self.state.disps, intr, jj, ii, beta
+            )
+            d = 0.5 * (d + d2)
+        return d
+
+    def distance_matrix(self, beta=0.3):
+        return np.asarray(distance.distance_matrix(
+            self.state.poses, self.state.disps, self.state.intrinsics[0],
+            self.counter, beta,
+        ))
+
+    def ba(self, target, weight, eta, ii, jj, edge_mask, t0, t1,
+           itrs=2, lm=1e-4, ep=0.1, motion_only=False,
+           pose_cap=None, depth_cap=None, degree_cap=None):
+        """Dense BA over the current graph (depth_video.py:181-193 analog)."""
+        cfg = self.cfg
+        P = pose_cap or cfg.frontend_pose_cap
+        K = depth_cap or cfg.frontend_depth_cap
+        D = degree_cap or cfg.schur_degree_cap
+        kx, kmask, table = dba.build_schur_tables(
+            np.asarray(ii), np.asarray(edge_mask), t0, t1, K, D
+        )
+        poses, disps = dba.ba(
+            self.state.poses, self.state.disps, self.state.disps_sens,
+            self.state.intrinsics, target, weight, eta,
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(edge_mask),
+            jnp.asarray(kx), jnp.asarray(kmask), jnp.asarray(table),
+            t0, t1, iters=itrs, lm=lm, ep=ep,
+            motion_only=motion_only, P=P,
+        )
+        self.state = self.state.replace(poses=poses, disps=disps)

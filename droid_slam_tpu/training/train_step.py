@@ -1,0 +1,131 @@
+"""Jit-compiled, data-parallel training step.
+
+Re-design of the reference DDP trainer's inner loop
+(/root/reference/train.py:78-127): unrolled DroidNet forward with two
+differentiable BA solves per iteration, γ-discounted geodesic + residual +
+flow losses, global-norm gradient clipping, Adam(+weight decay) with a
+one-cycle schedule.
+
+Data parallelism is jit + sharding annotations over a Mesh data axis (the
+TPU-native replacement for DDP/NCCL): params replicated, batch sharded on
+the leading axis; XLA inserts the gradient all-reduce over ICI.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geom import losses
+from ..lie import se3
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: object
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg):
+    """Adam + one-cycle LR, grad-clip by global norm (train.py:69-71,125)."""
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=cfg.steps, peak_value=cfg.lr, pct_start=0.01,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.clip),
+        optax.adamw(schedule, weight_decay=1e-5),
+    )
+
+
+def create_train_state(net, cfg, rng_seed=0):
+    H, W = cfg.image_size
+    N = cfg.n_frames
+    img = jnp.zeros((1, N, H, W, 3))
+    ii = np.asarray([i for i in range(N - 1)])
+    jj = ii + 1
+    params = net.init(
+        jax.random.PRNGKey(rng_seed), se3.identity((1, N)), img,
+        jnp.ones((1, N, H // 8, W // 8)),
+        jnp.asarray([[[8.0, 8.0, W / 16, H / 16]] * N]),
+        ii, jj, num_steps=1,
+    )
+    tx = make_optimizer(cfg)
+    return TrainState(
+        params=params, opt_state=tx.init(params["params"]),
+        step=jnp.zeros((), jnp.int32),
+    ), tx
+
+
+def make_train_step(net, tx, ii, jj, *, iters=15, fix_scale=True,
+                    w1=10.0, w2=0.01, w3=0.05, mesh=None):
+    """Build the jitted train step for a fixed edge list.
+
+    batch: dict(images (B,N,H,W,3), poses (B,N,7) w2c GT,
+                disps (B,N,h,w) GT inverse depth at 1/8,
+                disps_full (B,N,H,W) GT at full res,
+                intrinsics (B,N,4) full-res).
+    """
+    ii = np.asarray(ii)
+    jj = np.asarray(jj)
+
+    def loss_fn(params, batch):
+        Ps = se3.inv(batch["poses"])        # w2c -> c2w (train.py:84)
+        B, N = Ps.shape[:2]
+
+        # pose init: frame 0 at GT, all others at frame 1's pose
+        Gs = jnp.concatenate(
+            [Ps[:, :1], jnp.tile(Ps[:, 1:2], (1, N - 1, 1))], axis=1
+        )
+        disp0 = jnp.ones_like(batch["disps"])
+        intr8 = batch["intrinsics"] / 8.0
+
+        poses_est, disps_est, residuals = net.apply(
+            params, Gs, batch["images"], disp0, intr8, ii, jj,
+            num_steps=iters, fixedp=2,
+        )
+
+        geo, geo_m = losses.geodesic_loss(Ps, poses_est, ii, jj,
+                                          do_scale=not fix_scale)
+        res, res_m = losses.residual_loss(residuals)
+        flo, flo_m = losses.flow_loss(
+            Ps, batch["disps_full"], poses_est, disps_est,
+            batch["intrinsics"],
+        )
+        loss = w1 * geo + w2 * res + w3 * flo
+        metrics = dict(loss=loss, geo=geo, res=res, flow=flo,
+                       **geo_m, **res_m, **flo_m)
+        return loss, metrics
+
+    def step_fn(state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch)
+        updates, opt_state = tx.update(
+            grads["params"], state.opt_state, state.params["params"]
+        )
+        params = {
+            "params": optax.apply_updates(state.params["params"], updates)
+        }
+        return TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        ), metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("data"))
+        batch_sharding = dict(
+            images=shard, poses=shard, disps=shard,
+            disps_full=shard, intrinsics=shard,
+        )
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, batch_sharding),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))

@@ -183,6 +183,9 @@ class TestSim3:
         np.testing.assert_allclose(
             np.asarray(g2[..., 7]), 2 * np.asarray(g[..., 7]), atol=1e-6
         )
+        np.testing.assert_allclose(
+            np.asarray(g2[..., :3]), 2 * np.asarray(g[..., :3]), atol=1e-6
+        )
 
 
 class TestJitVmap:

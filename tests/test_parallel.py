@@ -1,0 +1,124 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Distributed global BA must match the single-device solver (same math,
+edges partitioned by source frame, pose system psum'd over the mesh).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from droid_slam_tpu.lie import se3
+from droid_slam_tpu.geom import projective
+from droid_slam_tpu.ops import dba
+from droid_slam_tpu.parallel import dba as pdba
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    T, BUF, ht, wd = 10, 16, 12, 16
+    xs = np.cumsum(0.05 * rng.standard_normal((T, 6)), axis=0)
+    xs[0] = 0
+    poses_gt = np.tile([0, 0, 0, 0, 0, 0, 1.0], (BUF, 1)).astype(np.float32)
+    poses_gt[:T] = np.asarray(se3.exp(jnp.asarray(xs, jnp.float32)))
+    disps_gt = (0.6 + 0.25 * rng.random((BUF, ht, wd))).astype(np.float32)
+    intr = np.tile([wd * 1.2, wd * 1.2, wd / 2, ht / 2], (BUF, 1)).astype(
+        np.float32
+    )
+    ii, jj = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+    keep = (np.abs(ii - jj) >= 1) & (np.abs(ii - jj) <= 3)
+    ii, jj = ii[keep].astype(np.int32), jj[keep].astype(np.int32)
+
+    target, _ = projective.projective_transform(
+        jnp.asarray(poses_gt)[None], jnp.asarray(disps_gt)[None],
+        jnp.asarray(intr)[None], jnp.asarray(ii), jnp.asarray(jj),
+    )
+    target = np.asarray(target[0])
+    weight = np.ones_like(target)
+
+    noise = 0.02 * rng.standard_normal((BUF, 6)).astype(np.float32)
+    noise[:2] = 0
+    noise[T:] = 0
+    poses0 = np.asarray(
+        se3.retr(jnp.asarray(poses_gt), jnp.asarray(noise))
+    )
+    return dict(
+        poses_gt=poses_gt, poses0=poses0, disps_gt=disps_gt,
+        disps0=np.ones_like(disps_gt), intr=intr, ii=ii, jj=jj,
+        target=target, weight=weight, T=T, BUF=BUF, ht=ht, wd=wd,
+    )
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self, problem):
+        pb = problem
+        T, BUF, ht, wd = pb["T"], pb["BUF"], pb["ht"], pb["wd"]
+        t0, t1 = 2, T
+        eta = 1e-4 * np.ones((BUF, ht, wd), np.float32)
+        E = len(pb["ii"])
+
+        # --- single-device reference (ops.dba) ---
+        mask = np.ones(E, bool)
+        kx, km, tbl = dba.build_schur_tables(pb["ii"], mask, t0, t1, 16, 32)
+        p1, d1 = dba.ba(
+            jnp.asarray(pb["poses0"]), jnp.asarray(pb["disps0"]),
+            jnp.zeros((BUF, ht, wd)), jnp.asarray(pb["intr"]),
+            jnp.asarray(pb["target"]), jnp.asarray(pb["weight"]),
+            jnp.asarray(eta), jnp.asarray(pb["ii"]), jnp.asarray(pb["jj"]),
+            jnp.asarray(mask), jnp.asarray(kx), jnp.asarray(km),
+            jnp.asarray(tbl), t0, t1, iters=2, lm=1e-5, ep=1e-2, P=16,
+        )
+
+        # --- 8-device distributed ---
+        devs = np.array(jax.devices()[:8])
+        mesh = Mesh(devs, ("ba",))
+        shards = pdba.shard_edges_by_frame(
+            pb["ii"], pb["jj"], pb["target"], pb["weight"], mask,
+            n_shards=8, E_shard=16, K_shard=4, D=8, t0=t0, t1=t1,
+        )
+        fn = pdba.make_distributed_ba(mesh, iters=2, lm=1e-5, ep=1e-2,
+                                      P_cap=16)
+        p8, d8 = fn(
+            jnp.asarray(pb["poses0"]), jnp.asarray(pb["disps0"]),
+            jnp.zeros((BUF, ht, wd)), jnp.asarray(pb["intr"]),
+            jnp.asarray(eta), *[jnp.asarray(s) for s in shards],
+            t0, t1,
+        )
+
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(d8), np.asarray(d1),
+                                   atol=2e-3, rtol=2e-2)
+
+    def test_converges_distributed(self, problem):
+        pb = problem
+        T, BUF, ht, wd = pb["T"], pb["BUF"], pb["ht"], pb["wd"]
+        t0, t1 = 2, T
+        eta = 1e-4 * np.ones((BUF, ht, wd), np.float32)
+        mask = np.ones(len(pb["ii"]), bool)
+
+        devs = np.array(jax.devices()[:8])
+        mesh = Mesh(devs, ("ba",))
+        shards = [
+            jnp.asarray(s) for s in pdba.shard_edges_by_frame(
+                pb["ii"], pb["jj"], pb["target"], pb["weight"], mask,
+                n_shards=8, E_shard=16, K_shard=4, D=8, t0=t0, t1=t1,
+            )
+        ]
+        fn = pdba.make_distributed_ba(mesh, iters=2, lm=1e-4, ep=0.1,
+                                      P_cap=16)
+        p = jnp.asarray(pb["poses0"])
+        d = jnp.asarray(pb["disps0"])
+        for _ in range(8):
+            p, d = fn(
+                p, d, jnp.zeros((BUF, ht, wd)), jnp.asarray(pb["intr"]),
+                jnp.asarray(eta), *shards, t0, t1,
+            )
+
+        err = np.asarray(se3.log(se3.mul(
+            p[:T], se3.inv(jnp.asarray(pb["poses_gt"][:T]))
+        )))
+        assert np.abs(err).max() < 5e-3

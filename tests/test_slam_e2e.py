@@ -1,0 +1,54 @@
+"""Full-pipeline smoke test: Droid.track over a synthetic stream, then
+terminate() with global BA and trajectory filling.
+
+Random weights → no accuracy claims; validates that every subsystem
+(motion filter, frontend, backend update_lowmem + global BA, trajectory
+filler, SE3 inversion) executes and produces finite, well-shaped output.
+"""
+
+import numpy as np
+import pytest
+
+from droid_slam_tpu.config import SLAMConfig
+from droid_slam_tpu.runtime.slam import Droid
+
+H, W = 64, 96
+
+
+def synth_frame(t, rng):
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = (
+        127 + 60 * np.sin(0.2 * (x + 3 * t)) * np.cos(0.15 * (y + 2 * t))
+        + 40 * np.sin(0.05 * (x - y + 5 * t))
+    )
+    img = np.clip(img + rng.normal(0, 2, (H, W)), 0, 255).astype(np.uint8)
+    return np.stack([img] * 3, axis=-1)
+
+
+@pytest.mark.slow
+def test_full_pipeline():
+    cfg = SLAMConfig(
+        image_size=(H, W), buffer=32, warmup=5, filter_thresh=0.0,
+        frontend_window=10, frontend_edge_cap=64, frontend_pose_cap=32,
+        frontend_depth_cap=32, schur_degree_cap=32, filler_batch=4,
+    )
+    droid = Droid(cfg, seed=0)
+
+    rng = np.random.default_rng(0)
+    intr = np.asarray([80.0, 80.0, W / 2, H / 2], np.float32)
+
+    n_frames = 8
+    frames = [synth_frame(t, rng) for t in range(n_frames)]
+    for t in range(n_frames):
+        droid.track(t, frames[t], intrinsics=intr)
+
+    assert droid.video.counter >= cfg.warmup
+
+    stream = ((t, frames[t], intr) for t in range(n_frames))
+    traj = droid.terminate(stream, backend_steps=(2,))
+
+    assert traj.shape == (n_frames, 7)
+    assert np.all(np.isfinite(traj))
+    # quaternions stay normalized
+    qn = np.linalg.norm(traj[:, 3:], axis=-1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-3)

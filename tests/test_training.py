@@ -1,0 +1,150 @@
+"""Training pipeline tests: synthetic TartanAir scene → dataset reader →
+covisibility graph → data-parallel train step → loss decreases.
+"""
+
+import numpy as np
+import pytest
+
+from droid_slam_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def tartan_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tartan")
+    data = synthetic.write_tartanair_scene(
+        str(root), n_frames=8, H=64, W=96, seed=0
+    )
+    return str(root), data
+
+
+class TestSyntheticScene:
+    def test_render_consistency(self, tartan_dir):
+        """Rendered depth + poses must satisfy the projective transform:
+        warping frame 0 into frame 1 with GT geometry reproduces frame 1's
+        texture (photometric check on the overlap)."""
+        import jax.numpy as jnp
+
+        from droid_slam_tpu.geom import projective
+        from droid_slam_tpu.lie import se3
+
+        _, data = tartan_dir
+        poses_w2c = se3.inv(jnp.asarray(data["poses_c2w"]))
+        disps = jnp.asarray(1.0 / data["depths"])
+        intr = jnp.asarray(data["intrinsics"])
+
+        coords, valid = projective.projective_transform(
+            poses_w2c[None], disps[None], intr[None],
+            jnp.asarray([0]), jnp.asarray([1]),
+        )
+        coords = np.asarray(coords[0, 0])
+        valid = np.asarray(valid[0, 0, ..., 0])
+
+        img0 = data["images"][0].astype(np.float32)
+        img1 = data["images"][1].astype(np.float32)
+        H, W = img0.shape[:2]
+
+        xi = np.clip(np.round(coords[..., 0]).astype(int), 0, W - 1)
+        yi = np.clip(np.round(coords[..., 1]).astype(int), 0, H - 1)
+        inb = (coords[..., 0] >= 0) & (coords[..., 0] < W) \
+            & (coords[..., 1] >= 0) & (coords[..., 1] < H) & (valid > 0)
+        diff = np.abs(img1[yi, xi] - img0).mean(-1)
+        err = diff[inb].mean()
+        assert err < 12.0, err  # nearest-pixel sampling tolerance
+
+    def test_tartan_reader_roundtrip(self, tartan_dir):
+        """The TartanAir reader must undo the NED permutation and depth
+        scaling exactly."""
+        root, data = tartan_dir
+
+        from droid_slam_tpu.data.tartan import TartanAir
+
+        class SmallTartan(TartanAir):
+            @staticmethod
+            def calib_read():
+                return data["intrinsics"][0]
+
+            @staticmethod
+            def is_test_scene(scene):
+                return False
+
+        ds = SmallTartan(root, n_frames=4, do_aug=False,
+                         cache_dir=root + "/cache", fmin=0.1, fmax=1000.0)
+        assert len(ds) > 0
+
+        scene = list(ds.scene_info.keys())[0]
+        poses = ds.scene_info[scene]["poses"]
+        # c2w poses recovered up to the depth scale on translation
+        np.testing.assert_allclose(
+            poses[:, 3:], data["poses_c2w"][:, 3:], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            poses[:, :3], data["poses_c2w"][:, :3], atol=1e-6
+        )
+
+        item = ds[0]
+        assert item["images"].shape[0] == 4
+        assert item["disps"].shape == item["images"].shape[:3]
+        # scale normalization: mean valid disparity ~ 1
+        d = item["disps"]
+        assert abs(d[d > 0.01].mean() - 1.0) < 1e-3
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, tartan_dir):
+        """A few steps on one synthetic batch must reduce the loss."""
+        import jax
+        import jax.numpy as jnp
+
+        from droid_slam_tpu.config import TrainConfig
+        from droid_slam_tpu.geom.graph_utils import temporal_graph
+        from droid_slam_tpu.models.droidnet import DroidNet
+        from droid_slam_tpu.training.train_step import (
+            create_train_state, make_train_step,
+        )
+
+        _, data = tartan_dir
+        N, H, W = 4, 64, 96
+        cfg = TrainConfig(image_size=(H, W), n_frames=N, steps=100,
+                          lr=2e-5)
+        net = DroidNet(dtype=None)
+        state, tx = create_train_state(net, cfg)
+
+        ii, jj = temporal_graph(N, r=1)
+        step = make_train_step(net, tx, ii, jj, iters=2)
+
+        disps_full = 1.0 / data["depths"][:N]
+        batch = dict(
+            images=jnp.asarray(data["images"][:N], jnp.float32)[None],
+            poses=jnp.asarray(data["poses_c2w"][:N])[None],
+            disps=jnp.asarray(disps_full[:, 3::8, 3::8])[None],
+            disps_full=jnp.asarray(disps_full)[None],
+            intrinsics=jnp.asarray(data["intrinsics"][:N])[None],
+        )
+
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.all(np.isfinite(losses))
+        assert np.mean(losses[-3:]) < losses[0], losses
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from droid_slam_tpu.config import TrainConfig
+        from droid_slam_tpu.models.droidnet import DroidNet
+        from droid_slam_tpu.training.train_step import create_train_state
+        from droid_slam_tpu.training.trainer import (
+            restore_checkpoint, save_checkpoint,
+        )
+
+        cfg = TrainConfig(image_size=(32, 32), n_frames=3, steps=10)
+        net = DroidNet(dtype=None)
+        state, _ = create_train_state(net, cfg)
+        state = state.replace(step=jnp.asarray(7))
+
+        path = save_checkpoint(str(tmp_path), state, 7)
+        restored = restore_checkpoint(path, state)
+        assert int(restored.step) == 7
+        import chex
+        chex.assert_trees_all_close(restored.params, state.params)
