@@ -33,11 +33,11 @@ class Backend:
         if t < 2:
             return
 
-        import jax.numpy as jnp
-
-        if not cfg.stereo and not bool(
-            jnp.any(self.video.state.disps_sens[:t] > 0)
-        ):
+        # host-side check (a [:t] device slice would compile per t)
+        has_sens = bool(
+            (np.asarray(self.video.state.disps_sens)[:t] > 0).any()
+        )
+        if not cfg.stereo and not has_sens:
             self.video.normalize()
 
         max_factors = 16 * t

@@ -55,12 +55,15 @@ class Frontend:
         )
 
         # seed new keyframe's depth from sensor depth where available
+        # (dynamic indices: python-int indexing would recompile per frame)
+        from .state import read_slot, write_slot
+
         st = self.video.state
-        d_new = jnp.where(
-            st.disps_sens[self.t1 - 1] > 0,
-            st.disps_sens[self.t1 - 1], st.disps[self.t1 - 1],
+        ds = read_slot(st.disps_sens, self.t1 - 1)
+        d_new = jnp.where(ds > 0, ds, read_slot(st.disps, self.t1 - 1))
+        self.video.state = st.replace(
+            disps=write_slot(st.disps, self.t1 - 1, d_new)
         )
-        self.video.state = st.replace(disps=st.disps.at[self.t1 - 1].set(d_new))
 
         for _ in range(self.iters1):
             self.graph.update(None, None, use_inactive=True)
@@ -80,8 +83,13 @@ class Frontend:
         # extrapolate: next pose = last pose; next disp = mean of last
         st = self.video.state
         self.video.state = st.replace(
-            poses=st.poses.at[self.t1].set(st.poses[self.t1 - 1]),
-            disps=st.disps.at[self.t1].set(st.disps[self.t1 - 1].mean()),
+            poses=write_slot(st.poses, self.t1,
+                             read_slot(st.poses, self.t1 - 1)),
+            disps=write_slot(
+                st.disps, self.t1,
+                jnp.broadcast_to(read_slot(st.disps, self.t1 - 1).mean(),
+                                 st.disps.shape[1:]),
+            ),
         )
 
     def _initialize(self):
@@ -101,11 +109,20 @@ class Frontend:
         for _ in range(8):
             self.graph.update(1, use_inactive=True)
 
+        from .state import read_slot, write_slot
+
         st = self.video.state
+        last4 = jnp.take(
+            st.disps,
+            jnp.arange(4, dtype=jnp.int32) + jnp.int32(self.t1 - 4),
+            axis=0,
+        )
         self.video.state = st.replace(
-            poses=st.poses.at[self.t1].set(st.poses[self.t1 - 1]),
-            disps=st.disps.at[self.t1].set(
-                st.disps[self.t1 - 4: self.t1].mean()
+            poses=write_slot(st.poses, self.t1,
+                             read_slot(st.poses, self.t1 - 1)),
+            disps=write_slot(
+                st.disps, self.t1,
+                jnp.broadcast_to(last4.mean(), st.disps.shape[1:]),
             ),
         )
 

@@ -22,6 +22,22 @@ from ..geom import projective
 from ..ops import dba, distance
 
 
+def read_slot(arr, idx):
+    """arr[idx] with a *dynamic* index.
+
+    Outside jit, indexing with a Python int bakes the index into the XLA
+    program, so every distinct frame index compiles a new (tiny) program —
+    ruinous on remote-compile TPU setups.  A traced index keeps one cached
+    program for all values.
+    """
+    return jnp.take(arr, jnp.asarray(idx, jnp.int32), axis=0)
+
+
+def write_slot(arr, idx, val):
+    """arr.at[idx].set(val) with a dynamic index (see read_slot)."""
+    return arr.at[jnp.asarray(idx, jnp.int32)].set(val)
+
+
 @flax.struct.dataclass
 class VideoState:
     tstamp: jnp.ndarray        # (BUF,) f32
@@ -137,7 +153,7 @@ class DepthVideo:
         elif np.ndim(disp) == 0:
             disp = np.full((self.fht, self.fwd), float(disp), np.float32)
         if pose is None:
-            pose = self.state.poses[max(self.counter - 1, 0)]
+            pose = read_slot(self.state.poses, max(self.counter - 1, 0))
 
         self.state = _append(
             self.state, self.counter, tstamp, image, pose, disp,
@@ -162,18 +178,32 @@ class DepthVideo:
         return coords[0], valid[0]
 
     def distance(self, ii, jj, beta=0.3, bidirectional=True):
-        ii = jnp.asarray(ii, jnp.int32).reshape(-1)
-        jj = jnp.asarray(jj, jnp.int32).reshape(-1)
+        # pad queries to power-of-2 buckets: the frontend's candidate set
+        # grows every keyframe, and an exact-shape jit would recompile
+        # frame_distance once per frame (the dominant cost on remote-compile
+        # TPU setups)
+        ii = np.asarray(ii, np.int32).reshape(-1)
+        jj = np.asarray(jj, np.int32).reshape(-1)
+        n = len(ii)
+        cap = 16
+        while cap < n:
+            cap *= 2
+        ii_p = np.zeros(cap, np.int32)
+        jj_p = np.zeros(cap, np.int32)
+        ii_p[:n], jj_p[:n] = ii, jj
+
+        ii_j = jnp.asarray(ii_p)
+        jj_j = jnp.asarray(jj_p)
         intr = self.state.intrinsics[0]
         d = distance.frame_distance(
-            self.state.poses, self.state.disps, intr, ii, jj, beta
+            self.state.poses, self.state.disps, intr, ii_j, jj_j, beta
         )
         if bidirectional:
             d2 = distance.frame_distance(
-                self.state.poses, self.state.disps, intr, jj, ii, beta
+                self.state.poses, self.state.disps, intr, jj_j, ii_j, beta
             )
             d = 0.5 * (d + d2)
-        return d
+        return d[:n]
 
     def distance_matrix(self, beta=0.3):
         return np.asarray(distance.distance_matrix(

@@ -36,8 +36,8 @@ class TrajectoryFiller:
         M = len(tstamps)
         st = self.video.state
 
-        ts = np.asarray(st.tstamp[:N])
-        Ps = st.poses[:N]
+        # host copies (device [:N] slices would compile one program per N)
+        ts = np.asarray(st.tstamp)[:N]
 
         tt = np.asarray(tstamps, np.float64)
         t0 = np.asarray(
@@ -50,7 +50,7 @@ class TrajectoryFiller:
 
         # SE3 seed: exp(α · log(P_{t1} ∘ P_{t0}⁻¹)) ∘ P_{t0}
         Gs = se3.interp(
-            Ps[jnp.asarray(t0)], Ps[jnp.asarray(t1)],
+            st.poses[jnp.asarray(t0)], st.poses[jnp.asarray(t1)],
             jnp.asarray(alpha, jnp.float32)[:, None],
         )
 
@@ -86,7 +86,7 @@ class TrajectoryFiller:
         for _ in range(6):
             graph.update(N, N + M, motion_only=True)
 
-        poses_out = np.array(self.video.state.poses[N: N + M])
+        poses_out = np.array(self.video.state.poses)[N: N + M]
         self.video.counter = N
         return poses_out
 

@@ -1,0 +1,61 @@
+"""The Pallas lookup kernel must match the jnp reference implementation
+exactly (interpret mode on CPU; compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from droid_slam_tpu.ops import corr, corr_pallas
+
+
+def _interpret_ok():
+    """Pallas TPU interpret mode availability on the CPU backend."""
+    return jax.default_backend() == "cpu"
+
+
+class TestPallasLookup:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_reference(self, seed):
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(seed)
+        B, N, H, W, h2, w2 = 1, 3, 6, 8, 10, 12
+        vol = jnp.asarray(
+            rng.standard_normal((B, N, H, W, h2, w2)), jnp.float32
+        )
+        coords = jnp.asarray(
+            rng.uniform(-2, 13, (B, N, H, W, 2)), jnp.float32
+        )
+
+        expect = corr.lookup_level(vol, coords, radius=3)
+        with pltpu.force_tpu_interpret_mode():
+            got = corr_pallas.lookup_level_pallas(vol, coords, radius=3)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), atol=1e-4, rtol=1e-4
+        )
+
+    def test_far_out_of_bounds_zero(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        vol = jnp.ones((1, 1, 2, 3, 6, 6), jnp.float32)
+        coords = jnp.full((1, 1, 2, 3, 2), -50.0)
+        with pltpu.force_tpu_interpret_mode():
+            got = corr_pallas.lookup_level_pallas(vol, coords, radius=3)
+        np.testing.assert_allclose(np.asarray(got), 0.0)
+
+    def test_pyramid_matches(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(2)
+        vol = jnp.asarray(
+            rng.standard_normal((1, 2, 4, 4, 8, 8)), jnp.float32
+        )
+        pyr = corr.build_pyramid(vol)
+        coords = jnp.asarray(rng.uniform(0, 7, (1, 2, 4, 4, 2)), jnp.float32)
+        expect = corr.lookup_pyramid(pyr, coords)
+        with pltpu.force_tpu_interpret_mode():
+            got = corr_pallas.lookup_pyramid_pallas(pyr, coords)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), atol=1e-4, rtol=1e-4
+        )

@@ -26,6 +26,58 @@ def synth_frame(t, rng):
 
 
 @pytest.mark.slow
+def test_rgbd_pipeline():
+    """RGB-D input path: sensor depths feed disps_sens and the BA prior."""
+    cfg = SLAMConfig(
+        image_size=(H, W), buffer=16, warmup=5, filter_thresh=0.0,
+        frontend_window=8, frontend_edge_cap=64, frontend_pose_cap=16,
+        frontend_depth_cap=16, schur_degree_cap=32,
+    )
+    droid = Droid(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    intr = np.asarray([80.0, 80.0, W / 2, H / 2], np.float32)
+
+    for t in range(6):
+        depth = 2.0 + 0.1 * rng.random((H, W)).astype(np.float32)
+        droid.track(t, synth_frame(t, rng), depth=depth, intrinsics=intr)
+
+    st = droid.video.state
+    n = droid.video.counter
+    # sensor priors registered at ~1/depth
+    ds = np.asarray(st.disps_sens[:n])
+    assert ds.min() > 0.4 and ds.max() < 0.6, (ds.min(), ds.max())
+    # with random weights the data terms fight the prior; just require
+    # finite, positive disparities and poses
+    d = np.asarray(st.disps[:n])
+    assert np.all(np.isfinite(d)) and d.min() >= 0.001
+    assert np.all(np.isfinite(np.asarray(st.poses[:n])))
+
+
+@pytest.mark.slow
+def test_stereo_pipeline():
+    """Stereo input: 2-camera feature maps, ii==jj baseline edges."""
+    cfg = SLAMConfig(
+        image_size=(H, W), buffer=16, warmup=5, filter_thresh=0.0,
+        stereo=True, frontend_window=8, frontend_edge_cap=64,
+        frontend_pose_cap=16, frontend_depth_cap=16, schur_degree_cap=32,
+    )
+    droid = Droid(cfg, seed=0)
+    rng = np.random.default_rng(2)
+    intr = np.asarray([80.0, 80.0, W / 2, H / 2], np.float32)
+
+    for t in range(6):
+        left = synth_frame(t, rng)
+        right = np.roll(left, -3, axis=1)   # fake baseline shift
+        droid.track(t, np.stack([left, right]), intrinsics=intr)
+
+    assert droid.video.counter >= cfg.warmup
+    g = droid.frontend.graph
+    assert (g.ii == g.jj).any()   # stereo self-edges present
+    st = droid.video.state
+    assert np.all(np.isfinite(np.asarray(st.poses[:droid.video.counter])))
+
+
+@pytest.mark.slow
 def test_full_pipeline():
     cfg = SLAMConfig(
         image_size=(H, W), buffer=32, warmup=5, filter_thresh=0.0,
