@@ -60,15 +60,26 @@ def main():
 
     frames = [synth_frame(t, rng) for t in range(n_warm + n_bench)]
 
+    import sys
+
     for t in range(n_warm):
+        f0 = time.perf_counter()
         droid.track(t, frames[t], intrinsics=intr)
+        print(f"warm frame {t}: {time.perf_counter() - f0:.3f}s",
+              file=sys.stderr, flush=True)
     jax.block_until_ready(droid.video.state.poses)
 
     t_start = time.perf_counter()
     for t in range(n_warm, n_warm + n_bench):
+        f0 = time.perf_counter()
         droid.track(t, frames[t], intrinsics=intr)
+        print(f"bench frame {t}: {time.perf_counter() - f0:.3f}s",
+              file=sys.stderr, flush=True)
     jax.block_until_ready(droid.video.state.poses)
     elapsed = time.perf_counter() - t_start
+
+    from droid_slam_tpu.utils.timers import GLOBAL_TIMERS
+    print(GLOBAL_TIMERS.report(), file=sys.stderr, flush=True)
 
     kf_per_s = n_bench / elapsed
     print(json.dumps({

@@ -35,18 +35,18 @@ def _lookup_kernel(iy_ref, ix_ref, wx_ref, wy_ref, vol_ref, out_ref, *,
                    rd, W):
     """One (edge, source-row) program.
 
-    iy/ix: (1, W) int32 window starts (padded coords, clamped).
-    wx/wy: (1, W) f32 fractional parts.
+    iy/ix: (1, 1, 1, W) int32 window starts (padded coords, clamped).
+    wx/wy: (1, 1, 1, W) f32 fractional parts.
     vol_ref: (1, W, h2p, w2p) padded volume planes.
     out_ref: (1, W, rd, rd) taps (x-major offsets on the `rd` axes:
              out[..., ox, oy]).
     """
 
     def body(p, _):
-        y0 = iy_ref[0, 0, p]
-        x0 = ix_ref[0, 0, p]
-        dx = wx_ref[0, 0, p]
-        dy = wy_ref[0, 0, p]
+        y0 = iy_ref[0, 0, 0, p]
+        x0 = ix_ref[0, 0, 0, p]
+        dx = wx_ref[0, 0, 0, p]
+        dy = wy_ref[0, 0, 0, p]
 
         patch = vol_ref[0, 0, p, pl.ds(y0, rd + 1), pl.ds(x0, rd + 1)]
         # bilinear combine of the 4 shifted (rd, rd) views; taps indexed
@@ -97,13 +97,15 @@ def lookup_level_pallas(volume_level, coords, radius=RADIUS):
         functools.partial(_lookup_kernel, rd=rd, W=W),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, W), lambda e, h: (e, h, 0),
+            # scalar arrays carry a singleton axis so the (second-to-last,
+            # last) block dims equal the array dims (Mosaic tiling rule)
+            pl.BlockSpec((1, 1, 1, W), lambda e, h: (e, h, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, W), lambda e, h: (e, h, 0),
+            pl.BlockSpec((1, 1, 1, W), lambda e, h: (e, h, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, W), lambda e, h: (e, h, 0),
+            pl.BlockSpec((1, 1, 1, W), lambda e, h: (e, h, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, W), lambda e, h: (e, h, 0),
+            pl.BlockSpec((1, 1, 1, W), lambda e, h: (e, h, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, W, h2p, w2p), lambda e, h: (e, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -113,8 +115,8 @@ def lookup_level_pallas(volume_level, coords, radius=RADIUS):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, H, W, rd, rd), jnp.float32),
     )(
-        iy.reshape(E, H, W), ix.reshape(E, H, W), dx.reshape(E, H, W),
-        dy.reshape(E, H, W), vol,
+        iy.reshape(E, H, 1, W), ix.reshape(E, H, 1, W),
+        dx.reshape(E, H, 1, W), dy.reshape(E, H, 1, W), vol,
     )
     # kernel emits taps[oy, ox]; the CUDA channel layout is x-offset major
     out = jnp.swapaxes(out, -1, -2)

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..geom import projective
 from ..ops import corr as corr_ops
+from ..utils.timers import GLOBAL_TIMERS as _T
 
 DAMPING_EPS = 1e-7    # EP in factor_graph.update (factor_graph.py:196)
 
@@ -218,6 +219,7 @@ class FactorGraph:
         if len(ii) == 0:
             return
 
+        _T.counts["add_factors.n_edges"] += len(ii)
         chunk = 8 * ((len(ii) + 7) // 8)  # pad to bucket of 8
         ii_p = np.zeros(chunk, np.int32)
         jj_p = np.zeros(chunk, np.int32)
@@ -356,12 +358,13 @@ class FactorGraph:
         state = self.video.state
 
         fn = self._get_jit("update_core", self._build_update_core_full)
-        (self.net_state, coords1, delta, weight, eta, has_edge) = fn(
-            self.params, state.poses, state.disps, state.intrinsics,
-            state.nets, state.inps,
-            self.net_state, self.target, tuple(self.pyramid),
-            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(mask),
-        )
+        with _T.phase("graph.update_core"):
+            (self.net_state, coords1, delta, weight, eta, has_edge) = fn(
+                self.params, state.poses, state.disps, state.intrinsics,
+                state.nets, state.inps,
+                self.net_state, self.target, tuple(self.pyramid),
+                jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(mask),
+            )
 
         self.target = coords1 + delta
         self.weight = weight
@@ -375,7 +378,8 @@ class FactorGraph:
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
 
-        self._ba(t0, t1, itrs, use_inactive, motion_only)
+        with _T.phase("graph.ba"):
+            self._ba(t0, t1, itrs, use_inactive, motion_only)
         self.age += 1
 
     def _build_update_core_full(self):
@@ -511,7 +515,7 @@ class FactorGraph:
 
         return fn
 
-    def update_lowmem(self, steps=8, chunk=256):
+    def update_lowmem(self, steps=8, chunk=64):
         """Global BA sweep with on-the-fly correlation
         (factor_graph.py:246-290): per step, refresh every edge's
         target/weight in chunks, then one dense BA over all edges."""
@@ -619,10 +623,11 @@ class FactorGraph:
 
         ii_g, jj_g = np.meshgrid(ix, jx, indexing="ij")
         # np.array (copy): asarray of a jax array is a read-only view
-        d = np.array(
-            self.video.distance(ii_g.reshape(-1), jj_g.reshape(-1),
-                                beta=beta, bidirectional=False)
-        ).reshape(len(ix), len(jx))
+        with _T.phase("proximity.distance"):
+            d = np.array(
+                self.video.distance(ii_g.reshape(-1), jj_g.reshape(-1),
+                                    beta=beta, bidirectional=False)
+            ).reshape(len(ix), len(jx))
 
         # native C++ selection (same semantics, no Python loops)
         from .. import native
@@ -636,7 +641,8 @@ class FactorGraph:
         if res is not None:
             ii_sel, jj_sel = res
             if len(ii_sel):
-                self.add_factors(ii_sel, jj_sel, remove)
+                with _T.phase("proximity.add_factors"):
+                    self.add_factors(ii_sel, jj_sel, remove)
             return
 
         d[ii_g - rad < jj_g] = np.inf

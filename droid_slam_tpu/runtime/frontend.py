@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .factor_graph import FactorGraph
+from ..utils.timers import GLOBAL_TIMERS as _T
 
 
 class Frontend:
@@ -46,13 +47,16 @@ class Frontend:
         self.t1 += 1
 
         if self.graph.n > 0:
-            self.graph.rm_factors(self.graph.age > self.max_age, store=True)
+            with _T.phase("frontend.rm_stale"):
+                self.graph.rm_factors(self.graph.age > self.max_age,
+                                      store=True)
 
-        self.graph.add_proximity_factors(
+        with _T.phase("frontend.proximity"):
+            self.graph.add_proximity_factors(
             self.t1 - 5, max(self.t1 - cfg.frontend_window, 0),
-            rad=cfg.frontend_radius, nms=cfg.frontend_nms,
-            thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True,
-        )
+                rad=cfg.frontend_radius, nms=cfg.frontend_nms,
+                thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True,
+            )
 
         # seed new keyframe's depth from sensor depth where available
         # (dynamic indices: python-int indexing would recompile per frame)
@@ -68,9 +72,10 @@ class Frontend:
         for _ in range(self.iters1):
             self.graph.update(None, None, use_inactive=True)
 
-        d = float(self.video.distance(
-            [self.t1 - 3], [self.t1 - 2], beta=cfg.beta, bidirectional=True
-        )[0])
+        with _T.phase("frontend.cull_check"):
+            d = float(self.video.distance(
+                [self.t1 - 3], [self.t1 - 2], beta=cfg.beta,
+                bidirectional=True)[0])
 
         if d < cfg.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 2)

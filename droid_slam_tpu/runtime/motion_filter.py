@@ -20,6 +20,7 @@ import numpy as np
 from ..geom import projective
 from ..models.droidnet import normalize_images
 from ..ops import corr as corr_ops
+from ..utils.timers import GLOBAL_TIMERS as _T
 
 
 class MotionFilter:
@@ -82,7 +83,8 @@ class MotionFilter:
         if image.ndim == 3:
             image = image[None]                        # (rig, H, W, 3)
 
-        fmap = self._encode(self.params, image)
+        with _T.phase("filter.encode"):
+            fmap = self._encode(self.params, image)
 
         if self.video.counter == 0:
             knet, kinp = self._ctx(self.params, image[0])
@@ -95,9 +97,10 @@ class MotionFilter:
             )
             return True
 
-        delta = float(self._delta(
-            self.params, self.fmap[0], fmap[0], self.knet, self.kinp
-        ))
+        with _T.phase("filter.delta"):
+            delta = float(self._delta(
+                self.params, self.fmap[0], fmap[0], self.knet, self.kinp
+            ))
         if delta > self.thresh:
             self.count = 0
             knet, kinp = self._ctx(self.params, image[0])

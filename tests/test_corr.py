@@ -1,6 +1,7 @@
 """Tests for correlation volumes and lookups (volume + alt paths)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from droid_slam_tpu.ops import corr
@@ -67,6 +68,32 @@ class TestLookup:
         )
         out = corr.lookup_pyramid(pyr, coords, radius=3)
         assert out.shape == (1, 2, 4, 4, 196)
+
+
+class TestLookupVariants:
+    """All lookup formulations (gather / patch / one-hot matmul) must
+    agree — they are interchangeable backends for the same op."""
+
+    @pytest.mark.parametrize("impl_name", ["patch", "onehot"])
+    def test_matches_gather_reference(self, impl_name):
+        rng = np.random.default_rng(7)
+        B, N, H, W, h2, w2 = 1, 3, 5, 6, 9, 11
+        vol = jnp.asarray(
+            rng.standard_normal((B, N, H, W, h2, w2)), jnp.float32
+        )
+        # include out-of-bounds and negative coordinates
+        coords = jnp.asarray(
+            rng.uniform(-4, 14, (B, N, H, W, 2)), jnp.float32
+        )
+        expect = corr.lookup_level(vol, coords, radius=3)
+        impl = {
+            "patch": corr.lookup_level_patch,
+            "onehot": corr.lookup_level_onehot,
+        }[impl_name]
+        got = impl(vol, coords, radius=3)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), atol=1e-4, rtol=1e-4
+        )
 
 
 class TestAltCorr:
