@@ -11,7 +11,7 @@ from ..lie import se3
 
 
 def parse_list(filepath, skiprows=0):
-    return np.loadtxt(filepath, delimiter=" ", dtype=np.unicode_,
+    return np.loadtxt(filepath, delimiter=" ", dtype=str,
                       skiprows=skiprows)
 
 

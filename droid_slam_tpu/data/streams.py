@@ -129,10 +129,10 @@ def eth3d_stream(datapath, stride=1, depth_scale=5000.0):
     from ..geom.align import associate
 
     rgb_list = np.loadtxt(
-        osp.join(datapath, "rgb.txt"), dtype=np.unicode_, skiprows=0
+        osp.join(datapath, "rgb.txt"), dtype=str, skiprows=0
     ).reshape(-1, 2)
     depth_list = np.loadtxt(
-        osp.join(datapath, "depth.txt"), dtype=np.unicode_, skiprows=0
+        osp.join(datapath, "depth.txt"), dtype=str, skiprows=0
     ).reshape(-1, 2)
     calib = np.loadtxt(osp.join(datapath, "calibration.txt"))
 

@@ -153,7 +153,12 @@ def projective_transform(
       coords (B, E, H, W, 2[+1]), valid (B, E, H, W, 1) and, if jacobian,
       (Ji, Jj, Jz) with shapes (B,E,H,W,2,6), (B,E,H,W,2,6), (B,E,H,W,2,1).
     """
-    X0 = iproj(jnp.take(depths, ii, axis=1), jnp.take(intrinsics, ii, axis=1))
+    # row selection via one-hot matmul (XLA gathers run at scalar rates
+    # on TPU; see ops/gathers.py) — batch dim handled by vmap
+    from ..ops.gathers import take_rows
+
+    depths_ii = jax.vmap(take_rows, in_axes=(0, None))(depths, ii)
+    X0 = iproj(depths_ii, jnp.take(intrinsics, ii, axis=1))
     Gij = _edge_transform(poses, ii, jj)
     X1, Ja = actp(Gij, X0, jacobian=jacobian)
     x1, Jp = proj(

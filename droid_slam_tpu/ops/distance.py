@@ -51,11 +51,13 @@ def frame_distance(poses, disps, intrinsics, ii, jj, beta=0.3):
       ii, jj: (N,) int32.
     Returns (N,) float distances.
     """
+    from .gathers import take_rows
+
     gi = poses[ii]
     gj = poses[jj]
     gij = se3.mul(gj, se3.inv(gi))
     tij, qij = gij[..., :3], gij[..., 3:7]
-    di = disps[ii]
+    di = take_rows(disps, ii)
     intr = jnp.broadcast_to(intrinsics, ii.shape + (4,))
 
     acc_r, cnt_r, total = _flow_dist(di, intr, tij, qij, True)

@@ -3,27 +3,29 @@
 The reference is single-GPU; distributing its global BA is the north-star
 scaling extension (BASELINE.json): partition the factor-graph *edges by
 source frame* across devices so that each depth frame's Schur elimination
-is entirely local to one device — the per-frame C/w/E_self accumulators and
-the depth updates never cross the interconnect.  Only the dense pose system
-(H, v and the Schur complement S — P·6 × P·6 blocks) is all-reduced with
+is entirely local to one device — the per-frame accumulators and the depth
+updates never cross the interconnect.  Only the dense pose system (H, v
+and the Schur complement S — P·6 × P·6 blocks) is all-reduced with
 `jax.lax.psum` over the mesh axis, then every device runs the same small
-replicated Cholesky solve.  This matches the communication-optimal shape of
-the problem: O(P²·36) bytes per iteration on the wire, independent of
+replicated Cholesky solve.  This matches the communication-optimal shape
+of the problem: O(P²·36) bytes per iteration on the wire, independent of
 image resolution and edge count.
+
+The per-shard math uses the same gather/scatter-free selector-matmul
+formulation as ops/dba.py.
 
 Host-side `shard_edges_by_frame` does the partitioning (control plane);
 `distributed_ba` is the shard_map'ed data plane.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..lie import se3
 from ..ops import dba as dba_ops
+from ..ops.gathers import take_rows
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -97,7 +99,7 @@ def shard_edges_by_frame(ii, jj, target, weight, edge_mask, n_shards,
 
 
 def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
-                        P_cap=128):
+                        P_cap=128, schur_chunk=None):
     """Build the shard_map'ed distributed BA step for `mesh`.
 
     Replicated inputs: poses/disps/disps_sens/intrinsics/eta (full buffer),
@@ -113,60 +115,73 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
         )
         ht, wd = disps.shape[-2:]
         HW = ht * wd
-        K, D = table.shape
+        K = kx.shape[0]
+        buf = poses.shape[0]
+
+        CK = schur_chunk or max(1, min(32, 4096 // max(P_cap, 1)))
+        nchunks = (K + CK - 1) // CK
+        Kpad = nchunks * CK
+        kx_pad = jnp.concatenate([kx, jnp.zeros((Kpad - K,), kx.dtype)])
+        km_pad = jnp.concatenate(
+            [kmask, jnp.zeros((Kpad - K,), kmask.dtype)]
+        )
 
         def iteration(carry, _):
             poses, disps = carry
+
             Hblk, v, Eii, Eij, Cii, wi = dba_ops._linearize(
                 poses, disps, intrinsics, target, weight, ii, jj, mask
             )
-            H, vd = dba_ops._scatter_pose_system(
+            H, vd, Pj = dba_ops._pose_system(
                 Hblk, v, ii, jj, t0, P_cap, mask
             )
 
-            # local depth-frame accumulation (fully shard-local)
-            C, w_acc, E_self = dba_ops._depth_accumulate(
-                Cii, wi, Eii, ii, kx, kmask, table
-            )
-            dsk = disps_sens[kx].reshape(K, HW)
-            dk = disps[kx].reshape(K, HW)
-            m = (dsk > 0).astype(C.dtype)
-            C = C + m * dba_ops.ALPHA + (1.0 - m) * eta[kx].reshape(K, HW)
-            w_acc = w_acc - m * dba_ops.ALPHA * (dk - dsk)
-            Q = jnp.where(kmask[:, None], 1.0 / C, 0.0)
+            dsk = take_rows(disps_sens.reshape(buf, HW), kx)
+            dk = take_rows(disps.reshape(buf, HW), kx)
+            eta_k = take_rows(eta.reshape(buf, HW), kx)
+            m_sens = (dsk > 0).astype(jnp.float32)
 
-            rows_p, rows_ok = dba_ops._schur_rows(
-                E_self, Eij, jj, kx, kmask, table, t0, P_cap
-            )
-            CH = dba_ops.SCHUR_CHUNK
-            nchunks = (K + CH - 1) // CH
+            def chunk_E_dense(c):
+                kx_c = jax.lax.dynamic_slice(kx_pad, (c * CK,), (CK,))
+                km_c = jax.lax.dynamic_slice(km_pad, (c * CK,), (CK,))
+                M = (
+                    (ii[:, None] == kx_c[None, :])
+                    & mask[:, None] & km_c[None, :]
+                ).astype(jnp.float32)
+                S2 = M[:, :, None] * Pj[:, None, :]
+                E_edge = jnp.einsum("eah,ecp->cpah", Eij, S2,
+                                    precision=_HIGH)
+                E_self = jnp.einsum("ec,eah->cah", M, Eii, precision=_HIGH)
+                pk = kx_c - t0
+                Pk = dba_ops._onehot(
+                    pk, P_cap, (pk >= 0) & (pk < P_cap) & km_c
+                )
+                E_dense = E_edge + jnp.einsum(
+                    "cah,cp->cpah", E_self, Pk, precision=_HIGH
+                )
+                C_c = jnp.einsum("ec,eh->ch", M, Cii, precision=_HIGH)
+                w_c = jnp.einsum("ec,eh->ch", M, wi, precision=_HIGH)
+                sl = (jnp.arange(CK) + c * CK).clip(0, K - 1)
+                ms = m_sens[sl]
+                C_c = C_c + ms * dba_ops.ALPHA + (1.0 - ms) * eta_k[sl]
+                w_c = w_c - ms * dba_ops.ALPHA * (dk[sl] - dsk[sl])
+                Q_c = jnp.where(km_c[:, None], 1.0 / C_c, 0.0)
+                return E_dense, Q_c, w_c
 
             def schur_step(carry, c):
                 S, vs = carry
-                sl = jnp.minimum(jnp.arange(CH) + c * CH, K - 1)
-                Er = dba_ops._gather_E_rows(E_self, Eij, table, sl)
-                okr = rows_ok[sl] & (sl < K)[:, None]
-                Er = Er * okr[:, :, None, None].astype(Er.dtype)
-                Qc = Q[sl]
-                Sk = jnp.einsum("krah,ksbh->krsab", Er * Qc[:, None, None, :],
-                                Er, precision=_HIGH)
-                Evk = jnp.einsum("krah,kh->kra", Er, Qc * w_acc[sl],
+                E_dense, Q_c, w_c = chunk_E_dense(c)
+                S_c = jnp.einsum(
+                    "cpah,cqbh->paqb", E_dense * Q_c[:, None, None, :],
+                    E_dense, precision=_HIGH,
+                )
+                v_c = jnp.einsum("cpah,ch->pa", E_dense, Q_c * w_c,
                                  precision=_HIGH)
-                pr = jnp.where(okr, rows_p[sl], P_cap)
-                fi = (pr[:, :, None] * (P_cap + 1) + pr[:, None, :]).reshape(-1)
-                Sc = jax.ops.segment_sum(
-                    Sk.reshape(-1, 6, 6), fi,
-                    num_segments=(P_cap + 1) * (P_cap + 1),
-                ).reshape(P_cap + 1, P_cap + 1, 6, 6)[:P_cap, :P_cap]
-                vc = jax.ops.segment_sum(
-                    Evk.reshape(-1, 6), pr.reshape(-1),
-                    num_segments=P_cap + 1,
-                )[:P_cap]
-                return (S + Sc, vs + vc), None
+                return (S + S_c, vs + v_c), None
 
             (S, vs), _ = jax.lax.scan(
                 schur_step,
-                (jnp.zeros((P_cap, P_cap, 6, 6)), jnp.zeros((P_cap, 6))),
+                (jnp.zeros((P_cap, 6, P_cap, 6)), jnp.zeros((P_cap, 6))),
                 jnp.arange(nchunks),
             )
 
@@ -175,7 +190,7 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
             vd = jax.lax.psum(vd - vs, axis)
 
             # replicated dense solve (identical on every device)
-            A = jnp.transpose(H, (0, 2, 1, 3)).reshape(P_cap * 6, P_cap * 6)
+            A = H.reshape(P_cap * 6, P_cap * 6)
             eye = jnp.eye(P_cap * 6, dtype=A.dtype)
             A = A + (ep + lm * A) * eye
             L = jnp.linalg.cholesky(A)
@@ -187,32 +202,34 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
                 P_cap, 6
             )
 
-            buf = poses.shape[0]
             fidx = jnp.arange(buf)
-            sel = (fidx >= t0) & (fidx < t1)
-            dx_full = jnp.where(
-                sel[:, None], dx[jnp.clip(fidx - t0, 0, P_cap - 1)], 0.0
+            sel = dba_ops._onehot(
+                fidx - t0, P_cap, (fidx >= t0) & (fidx < t1)
             )
+            dx_full = jnp.einsum("bp,pa->ba", sel, dx, precision=_HIGH)
             poses = se3.retr(poses, dx_full)
 
             # local depth update, then psum-merge the disjoint frame sets
             def dz_step(_, c):
-                sl = jnp.minimum(jnp.arange(CH) + c * CH, K - 1)
-                Er = dba_ops._gather_E_rows(E_self, Eij, table, sl)
-                okr = rows_ok[sl] & (sl < K)[:, None]
-                Er = Er * okr[:, :, None, None].astype(Er.dtype)
-                dxr = dx[jnp.clip(rows_p[sl], 0, P_cap - 1)]
-                dxr = dxr * okr[..., None].astype(dxr.dtype)
-                return None, jnp.einsum("krah,kra->kh", Er, dxr,
-                                        precision=_HIGH)
+                E_dense, Q_c, w_c = chunk_E_dense(c)
+                Edx = jnp.einsum("cpah,pa->ch", E_dense, dx,
+                                 precision=_HIGH)
+                return None, Q_c * (w_c - Edx)
 
-            _, Edx = jax.lax.scan(dz_step, None, jnp.arange(nchunks))
-            Edx = Edx.reshape(nchunks * CH, HW)[:K]
-            dz = jnp.where(kmask[:, None], Q * (w_acc - Edx), 0.0)
-            kidx = jnp.where(kmask, kx, buf)
-            dz_full = jax.ops.segment_sum(dz, kidx, num_segments=buf + 1)[:-1]
+            _, dz_chunks = jax.lax.scan(dz_step, None, jnp.arange(nchunks))
+            dz = dz_chunks.reshape(Kpad, HW)[:K]
+            dz = jnp.where(kmask[:, None], dz, 0.0)
+
+            B2K = (
+                jnp.arange(buf)[:, None] == kx[None, :]
+            ) & kmask[None, :]
+            dz_full = jnp.einsum(
+                "bk,kh->bh", B2K.astype(jnp.float32), dz, precision=_HIGH
+            )
             dz_full = jax.lax.psum(dz_full, axis)   # disjoint frames: merge
-            disps = jnp.maximum(disps + dz_full.reshape(buf, ht, wd), 0.001)
+            disps = jnp.maximum(
+                disps + dz_full.reshape(buf, ht, wd), 0.001
+            )
 
             return (poses, disps), None
 

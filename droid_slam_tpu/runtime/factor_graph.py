@@ -2,23 +2,24 @@
 
 Re-design of /root/reference/droid_slam/factor_graph.py for TPU execution:
 
-  * Control plane (edge bookkeeping, dedup, LRU eviction, proximity/NMS
-    selection) runs on the host in numpy — it is tiny, sequential, and
+  * Control plane (edge bookkeeping, slot allocation, dedup, LRU eviction,
+    proximity/NMS selection) runs on the host in numpy — tiny, sequential,
     data-dependent.
-  * Data plane (per-edge GRU state, correlation pyramids, targets/weights,
-    the update operator, and BA) lives in fixed-capacity device arrays with
-    validity masks so each jitted function compiles once per capacity.
-  * Edge insertion/removal are jit-compiled gathers/scatters over the slot
-    axis (the reference reindexes python-dynamic tensors instead).
-
-Two correlation implementations, as in the reference:
-  * "volume": per-edge precomputed correlation pyramid (frontend;
-    factor_graph.py:109-115).
-  * "alt": on-the-fly correlation against pooled feature pyramids
-    (backend's update_lowmem; factor_graph.py:246-290).
+  * Data plane (per-edge GRU state, targets/weights, the update operator,
+    and BA) lives in fixed-capacity device arrays indexed by *slot* with
+    validity masks: removing an edge only frees its slot on the host — no
+    device gather/scatter at all.  Each jitted function compiles once per
+    capacity.
+  * Correlation is computed on the fly every update: the per-edge volume
+    is one MXU einsum over stored frame features (~2 ms for a frontend
+    window) and the windowed lookup is the gather-free one-hot matmul
+    (ops/corr.py).  The reference instead precomputes per-edge volume
+    pyramids (factor_graph.py:109-115) and keeps a separate
+    low-memory "altcorr" path for global BA (:246-290); on TPU the
+    recompute is cheaper than maintaining per-edge volume state, so ONE
+    path serves both the frontend and the backend (chunked over edge
+    slots for large graphs).
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -26,60 +27,53 @@ import numpy as np
 
 from ..geom import projective
 from ..ops import corr as corr_ops
+from ..ops.gathers import take_rows
 from ..utils.timers import GLOBAL_TIMERS as _T
 
 DAMPING_EPS = 1e-7    # EP in factor_graph.update (factor_graph.py:196)
 
 
 class FactorGraph:
-    def __init__(self, video, net, params, corr_impl="volume",
+    def __init__(self, video, net, params, corr_impl="alt",
                  max_factors=48, edge_cap=None, inac_cap=None,
                  pose_cap=None, depth_cap=None, degree_cap=None,
-                 upsample=False):
+                 upsample=False, update_chunk=None):
         self.video = video
         self.net = net
         self.params = params
         self.cfg = video.cfg
-        self.corr_impl = corr_impl
         self.max_factors = max_factors
         self.upsample = upsample
 
         self.ht, self.wd = video.fht, video.fwd
-        ht, wd = self.ht, self.wd
 
         self.E = edge_cap or max(self.cfg.frontend_edge_cap, max_factors + 16)
         self.I = inac_cap if inac_cap is not None else self.E
         self.P = pose_cap or self.cfg.frontend_pose_cap
         self.K = depth_cap or self.cfg.frontend_depth_cap
         self.D = degree_cap or self.cfg.schur_degree_cap
+        # edges processed per update-operator jit call (memory bound: the
+        # on-the-fly level-0 volume is chunk·HW² bf16)
+        self.chunk = update_chunk or min(self.E, 64)
 
-        # host-side edge lists (ordered to match device slots [0, n))
+        # host-side edge lists; `slots` maps each edge to its device slot
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
+        self.slots = np.zeros(0, np.int64)
+        self.free = list(range(self.E))
         self.ii_inac = np.zeros(0, np.int64)
         self.jj_inac = np.zeros(0, np.int64)
         self.ii_bad = np.zeros(0, np.int64)
         self.jj_bad = np.zeros(0, np.int64)
 
-        # device edge state
+        ht, wd = self.ht, self.wd
+        # device edge state, indexed by slot
         self.net_state = jnp.zeros((self.E, ht, wd, 128), jnp.float32)
         self.target = jnp.zeros((self.E, ht, wd, 2), jnp.float32)
         self.weight = jnp.zeros((self.E, ht, wd, 2), jnp.float32)
         self.target_inac = jnp.zeros((self.I, ht, wd, 2), jnp.float32)
         self.weight_inac = jnp.zeros((self.I, ht, wd, 2), jnp.float32)
-
-        if corr_impl == "volume":
-            self.pyramid = [
-                jnp.zeros(
-                    (self.E, ht, wd, ht // (2 ** l), wd // (2 ** l)),
-                    jnp.bfloat16,
-                )
-                for l in range(corr_ops.NUM_LEVELS)
-            ]
-        else:
-            self.pyramid = None
-        self._fmap_pyr = None   # alt-corr frame pyramids (built lazily)
 
         self._jit_cache = {}
 
@@ -92,13 +86,13 @@ class FactorGraph:
         return len(self.ii)
 
     def _edge_arrays(self):
-        """Padded (E,) device index arrays + mask for the active set."""
+        """(E,) slot-indexed ii/jj arrays + validity mask."""
         ii = np.zeros(self.E, np.int32)
         jj = np.zeros(self.E, np.int32)
         mask = np.zeros(self.E, bool)
-        ii[: self.n] = self.ii
-        jj[: self.n] = self.jj
-        mask[: self.n] = True
+        ii[self.slots] = self.ii
+        jj[self.slots] = self.jj
+        mask[self.slots] = True
         return ii, jj, mask
 
     def _dedup(self, ii, jj):
@@ -113,83 +107,173 @@ class FactorGraph:
         ]
         return np.asarray(ii)[keep], np.asarray(jj)[keep]
 
-    # ------------------------------------------------------------------
-    # jitted data-plane pieces
-    # ------------------------------------------------------------------
-
     def _get_jit(self, key, builder):
         if key not in self._jit_cache:
             self._jit_cache[key] = builder()
         return self._jit_cache[key]
 
-    def _build_corr_fn(self, chunk):
-        """Correlation pyramid for `chunk` new edges (volume impl)."""
+    # ------------------------------------------------------------------
+    # jitted data-plane pieces
+    # ------------------------------------------------------------------
 
+    def _build_insert(self, chunk):
+        """Write `chunk` new edges' state into their slots (contiguous
+        dynamic-update-slices per slot, no scatter).  GRU state is seeded
+        from the source frame's context features (factor_graph.py:108)."""
         @jax.jit
-        def fn(fmaps, ii, cam1, jj, cam2):
-            f1 = fmaps[ii, cam1].astype(jnp.float32)      # (chunk,h,w,128)
-            f2 = fmaps[jj, cam2].astype(jnp.float32)
-            vol = corr_ops.corr_volume(f1[None], f2[None])[0]
-            pyr = corr_ops.build_pyramid(vol[None])
-            return [p[0].astype(jnp.bfloat16) for p in pyr]
+        def fn(net_state, target, weight, nets_frames, new_target,
+               ii_c, slots, valid):
+            new_net = take_rows(nets_frames, ii_c).astype(jnp.float32)
 
-        return fn
+            def body(k, carry):
+                ns, tg, wg = carry
+                s = slots[k]
 
-    def _build_insert_fn(self, chunk):
-        """Insert `chunk` edges' state at slot offsets."""
-
-        @jax.jit
-        def fn(net_state, target, weight, pyramid, new_net, new_target,
-               new_pyr, slots, valid):
-            vm = valid[:, None, None, None].astype(net_state.dtype)
-            sl = jnp.clip(slots, 0, net_state.shape[0] - 1)
-            net_state = net_state.at[sl].set(
-                jnp.where(vm > 0, new_net, net_state[sl])
-            )
-            target = target.at[sl].set(
-                jnp.where(vm > 0, new_target, target[sl])
-            )
-            weight = weight.at[sl].set(
-                jnp.where(vm > 0, jnp.zeros_like(target[sl]), weight[sl])
-            )
-            if pyramid is not None:
-                pyramid = [
-                    p.at[sl].set(
-                        jnp.where(
-                            valid[:, None, None, None, None] > 0, np_, p[sl]
-                        )
+                def write(x, new_row):
+                    row = jnp.where(valid[k], new_row, x[s])
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        x, row[None], s, axis=0
                     )
-                    for p, np_ in zip(pyramid, new_pyr)
-                ]
-            return net_state, target, weight, pyramid
+
+                ns = write(ns, new_net[k])
+                tg = write(tg, new_target[k])
+                wg = write(wg, jnp.zeros_like(new_target[k]))
+                return ns, tg, wg
+
+            return jax.lax.fori_loop(
+                0, chunk, body, (net_state, target, weight)
+            )
 
         return fn
 
-    def _build_permute_fn(self):
-        @jax.jit
-        def fn(net_state, target, weight, pyramid, perm):
-            out = (net_state[perm], target[perm], weight[perm])
-            if pyramid is not None:
-                pyramid = [p[perm] for p in pyramid]
-            return out + (pyramid,)
-
-        return fn
-
-    def _build_inac_store_fn(self, chunk):
+    def _build_inac_store(self, chunk):
         @jax.jit
         def fn(t_inac, w_inac, target, weight, src_slots, dst_slots, valid):
-            src = jnp.clip(src_slots, 0, target.shape[0] - 1)
-            dst = jnp.clip(dst_slots, 0, t_inac.shape[0] - 1)
-            vm = valid[:, None, None, None].astype(t_inac.dtype)
-            t_inac = t_inac.at[dst].set(
-                jnp.where(vm > 0, target[src], t_inac[dst])
-            )
-            w_inac = w_inac.at[dst].set(
-                jnp.where(vm > 0, weight[src], w_inac[dst])
-            )
-            return t_inac, w_inac
+            def body(k, carry):
+                ti, wi = carry
+                s = src_slots[k]
+                d = dst_slots[k]
+
+                def write(x, row):
+                    row = jnp.where(valid[k], row, x[d])
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        x, row[None], d, axis=0
+                    )
+
+                ti = write(ti, target[s])
+                wi = write(wi, weight[s])
+                return ti, wi
+
+            return jax.lax.fori_loop(0, chunk, body, (t_inac, w_inac))
 
         return fn
+
+    def _build_update_core(self):
+        """Update-operator pass over one chunk of edge slots with
+        on-the-fly correlation (serves frontend update AND backend
+        update_lowmem — factor_graph.py:196-242, 246-290)."""
+        net_mod = self.net
+        ht, wd = self.ht, self.wd
+        buf = self.cfg.buffer
+        rig = 2 if self.cfg.stereo else 1
+
+        @jax.jit
+        def fn(params, poses, disps, intrinsics, fmap_pyr, inps_frames,
+               net_chunk, target_chunk, ii_c, jj_c, mask_c):
+            coords1, _ = projective.projective_transform(
+                poses[None], disps[None], intrinsics[None], ii_c, jj_c
+            )
+            coords1 = coords1[0]
+            coords0 = projective.coords_grid(ht, wd)
+            motn = jnp.clip(
+                jnp.concatenate(
+                    [coords1 - coords0, target_chunk - coords1], axis=-1
+                ),
+                -64.0, 64.0,
+            )
+
+            # on-the-fly correlation (stereo: right camera for ii==jj)
+            f1 = take_rows(fmap_pyr[0], rig * ii_c).astype(jnp.float32) / 4.0
+            cam2 = rig * jj_c + (ii_c == jj_c).astype(jnp.int32) * (rig - 1)
+            f2_levels = [
+                take_rows(p, cam2).astype(jnp.float32) / 4.0
+                for p in fmap_pyr
+            ]
+            corr = corr_ops.alt_lookup_pyramid(f1, f2_levels, coords1)
+
+            inp = take_rows(inps_frames, ii_c)
+            seg = jnp.where(mask_c, ii_c, buf)
+            net_new, delta, weight, eta_seg, upmask = net_mod.apply(
+                params, net_chunk, inp, corr, motn,
+                method=lambda m, n, i, c, f, ix, nseg: m.update(
+                    n, i, c, f, ix=ix, nseg=nseg
+                ),
+                ix=seg, nseg=buf,
+            )
+            mask_f = mask_c[:, None, None, None].astype(net_new.dtype)
+            net_new = net_new * mask_f + net_chunk * (1 - mask_f)
+            target_new = coords1 + delta * mask_f
+            weight_new = weight * mask_f
+            cnt = jax.ops.segment_sum(
+                jnp.ones_like(seg, jnp.float32), seg, num_segments=buf + 1
+            )[:-1]
+            return net_new, target_new, weight_new, eta_seg, cnt > 0
+
+        return fn
+
+    def _run_update_op(self):
+        """Run the update operator over all edge slots (chunked)."""
+        state = self.video.state
+        ii, jj, mask = self._edge_arrays()
+        fmap_pyr = self.video.fmap_pyramids()
+        fn = self._get_jit("update_core", self._build_update_core)
+
+        nchunks = (self.E + self.chunk - 1) // self.chunk
+        for c in range(nchunks):
+            lo, hi = c * self.chunk, min((c + 1) * self.chunk, self.E)
+            pad = self.chunk - (hi - lo)
+
+            def padc(x, fill=0):
+                return np.concatenate(
+                    [x[lo:hi], np.full((pad,), fill, x.dtype)]
+                ) if pad else x[lo:hi]
+
+            if not mask[lo:hi].any():
+                continue
+
+            net_c = jax.lax.dynamic_slice_in_dim(
+                self.net_state, lo, self.chunk, axis=0
+            ) if pad == 0 else jnp.concatenate(
+                [self.net_state[lo:hi],
+                 jnp.zeros((pad,) + self.net_state.shape[1:],
+                           self.net_state.dtype)]
+            )
+            tgt_c = self.target[lo:hi] if pad == 0 else jnp.concatenate(
+                [self.target[lo:hi],
+                 jnp.zeros((pad,) + self.target.shape[1:])]
+            )
+
+            net_new, tgt_new, wgt_new, eta_seg, has_edge = fn(
+                self.params, state.poses, state.disps, state.intrinsics,
+                fmap_pyr, state.inps, net_c, tgt_c,
+                jnp.asarray(padc(ii)), jnp.asarray(padc(jj)),
+                jnp.asarray(padc(mask)),
+            )
+            n_real = hi - lo
+            self.net_state = jax.lax.dynamic_update_slice_in_dim(
+                self.net_state, net_new[:n_real], lo, axis=0
+            )
+            self.target = jax.lax.dynamic_update_slice_in_dim(
+                self.target, tgt_new[:n_real], lo, axis=0
+            )
+            self.weight = jax.lax.dynamic_update_slice_in_dim(
+                self.weight, wgt_new[:n_real], lo, axis=0
+            )
+            damping = jnp.where(
+                has_edge[:, None, None], eta_seg, state.damping
+            )
+            self.video.state = state.replace(damping=damping)
+            state = self.video.state
 
     # ------------------------------------------------------------------
     # graph edits
@@ -197,19 +281,17 @@ class FactorGraph:
 
     def add_factors(self, ii, jj, remove=False):
         """Add edges (factor_graph.py:85-133): dedup, LRU-evict over the
-        factor budget, build correlation state, seed targets by reprojection."""
+        factor budget, seed targets by reprojection."""
         ii = np.asarray(ii, np.int64).reshape(-1)
         jj = np.asarray(jj, np.int64).reshape(-1)
         ii, jj = self._dedup(ii, jj)
         if len(ii) == 0:
             return
 
-        # respect the factor budget
         room = self.max_factors - self.n if self.max_factors > 0 else len(ii)
         if self.max_factors > 0 and len(ii) > room and self.n > 0 and remove:
-            # evict oldest to make room (factor_graph.py:102-106)
             n_evict = min(self.n, len(ii) - max(room, 0))
-            order = np.argsort(-self.age)          # oldest (max age) first
+            order = np.argsort(-self.age)
             evict_mask = np.zeros(self.n, bool)
             evict_mask[order[:n_evict]] = True
             self.rm_factors(evict_mask, store=True)
@@ -219,86 +301,71 @@ class FactorGraph:
         if len(ii) == 0:
             return
 
-        _T.counts["add_factors.n_edges"] += len(ii)
-        chunk = 8 * ((len(ii) + 7) // 8)  # pad to bucket of 8
+        slots = np.asarray([self.free.pop() for _ in ii], np.int64)
+
+        chunk = 8 * ((len(ii) + 7) // 8)
         ii_p = np.zeros(chunk, np.int32)
         jj_p = np.zeros(chunk, np.int32)
+        sl_p = np.zeros(chunk, np.int32)
         val = np.zeros(chunk, bool)
-        ii_p[: len(ii)], jj_p[: len(ii)], val[: len(ii)] = ii, jj, True
-        slots = np.arange(chunk, dtype=np.int32) + self.n
-
-        state = self.video.state
-        new_net = state.nets[jnp.asarray(ii_p)]
-
-        if self.corr_impl == "volume":
-            cam1 = np.zeros(chunk, np.int32)
-            cam2 = (ii_p == jj_p).astype(np.int32) * (
-                1 if self.cfg.stereo else 0
-            )
-            corr_fn = self._get_jit(("corr", chunk),
-                                    lambda: self._build_corr_fn(chunk))
-            new_pyr = corr_fn(
-                state.fmaps, jnp.asarray(ii_p), jnp.asarray(cam1),
-                jnp.asarray(jj_p), jnp.asarray(cam2),
-            )
-        else:
-            new_pyr = None
+        ii_p[: len(ii)], jj_p[: len(ii)] = ii, jj
+        sl_p[: len(ii)], val[: len(ii)] = slots, True
 
         new_target, _ = self.video.reproject(ii_p, jj_p)
 
         ins = self._get_jit(("insert", chunk),
-                            lambda: self._build_insert_fn(chunk))
-        self.net_state, self.target, self.weight, self.pyramid = ins(
-            self.net_state, self.target, self.weight, self.pyramid,
-            new_net, new_target, new_pyr,
-            jnp.asarray(slots), jnp.asarray(val),
+                            lambda: self._build_insert(chunk))
+        self.net_state, self.target, self.weight = ins(
+            self.net_state, self.target, self.weight,
+            self.video.state.nets, new_target,
+            jnp.asarray(ii_p), jnp.asarray(sl_p), jnp.asarray(val),
         )
 
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros(len(ii), np.int64)])
+        self.slots = np.concatenate([self.slots, slots])
 
     def rm_factors(self, mask, store=False):
-        """Remove masked edges, optionally archiving their targets/weights
-        (factor_graph.py:136-160)."""
+        """Remove masked edges (factor_graph.py:136-160).  Device cost is
+        zero except archiving removed targets/weights when store=True."""
         mask = np.asarray(mask, bool)
         if mask.sum() == 0:
             return
         drop = np.nonzero(mask)[0]
-        keep = np.nonzero(~mask)[0]
+        keep = ~mask
 
         if store:
             k = len(drop)
-            chunk = 8 * ((k + 7) // 8)
-            src = np.zeros(chunk, np.int32)
-            dst = np.zeros(chunk, np.int32)
-            val = np.zeros(chunk, bool)
             n_inac = len(self.ii_inac)
             take = min(k, self.I - n_inac)
-            src[:take] = drop[:take]
-            dst[:take] = np.arange(take) + n_inac
-            val[:take] = True
-            fn = self._get_jit(("inac", chunk),
-                               lambda: self._build_inac_store_fn(chunk))
-            self.target_inac, self.weight_inac = fn(
-                self.target_inac, self.weight_inac, self.target, self.weight,
-                jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val),
-            )
-            self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop[:take]]])
-            self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop[:take]]])
+            if take > 0:
+                chunk = 8 * ((take + 7) // 8)
+                src = np.zeros(chunk, np.int32)
+                dst = np.zeros(chunk, np.int32)
+                val = np.zeros(chunk, bool)
+                src[:take] = self.slots[drop[:take]]
+                dst[:take] = np.arange(take) + n_inac
+                val[:take] = True
+                fn = self._get_jit(("inac", chunk),
+                                   lambda: self._build_inac_store(chunk))
+                self.target_inac, self.weight_inac = fn(
+                    self.target_inac, self.weight_inac,
+                    self.target, self.weight,
+                    jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val),
+                )
+                self.ii_inac = np.concatenate(
+                    [self.ii_inac, self.ii[drop[:take]]]
+                )
+                self.jj_inac = np.concatenate(
+                    [self.jj_inac, self.jj[drop[:take]]]
+                )
 
-        # compact device slots: kept edges first
-        perm = np.zeros(self.E, np.int32)
-        perm[: len(keep)] = keep
-        perm[len(keep):] = self.E - 1   # park padding on the last slot
-        pfn = self._get_jit("permute", self._build_permute_fn)
-        self.net_state, self.target, self.weight, self.pyramid = pfn(
-            self.net_state, self.target, self.weight, self.pyramid,
-            jnp.asarray(perm),
-        )
+        self.free.extend(int(s) for s in self.slots[drop])
         self.ii = self.ii[keep]
         self.jj = self.jj[keep]
         self.age = self.age[keep]
+        self.slots = self.slots[keep]
 
     def rm_keyframe(self, ix):
         """Drop keyframe ix: shift ix+1 into its slot and reindex edges
@@ -311,15 +378,15 @@ class FactorGraph:
         self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1,
                                 self.jj_inac)
         if m.any():
+            # compact the (small) inactive store on device
             keep = ~m
-            # compact the inactive store on device
-            n_inac = len(self.ii_inac)
-            perm = np.zeros(self.I, np.int32)
             kept_idx = np.nonzero(keep)[0]
+            perm = np.zeros(self.I, np.int32)
             perm[: len(kept_idx)] = kept_idx
-            perm[len(kept_idx):] = self.I - 1
-            self.target_inac = self.target_inac[jnp.asarray(perm)]
-            self.weight_inac = self.weight_inac[jnp.asarray(perm)]
+            self.target_inac = take_rows(self.target_inac,
+                                         jnp.asarray(perm))
+            self.weight_inac = take_rows(self.weight_inac,
+                                         jnp.asarray(perm))
             self.ii_inac = self.ii_inac[keep]
             self.jj_inac = self.jj_inac[keep]
 
@@ -338,7 +405,8 @@ class FactorGraph:
         if self.n == 0:
             return
         conf = np.asarray(
-            jnp.mean(self.weight[: self.n], axis=(1, 2, 3))
+            jnp.mean(take_rows(self.weight, jnp.asarray(self.slots)),
+                     axis=(1, 2, 3))
         )
         mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
         self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
@@ -354,26 +422,8 @@ class FactorGraph:
         """One update-operator + BA round (factor_graph.py:196-242)."""
         if self.n == 0:
             return
-        ii, jj, mask = self._edge_arrays()
-        state = self.video.state
-
-        fn = self._get_jit("update_core", self._build_update_core_full)
         with _T.phase("graph.update_core"):
-            (self.net_state, coords1, delta, weight, eta, has_edge) = fn(
-                self.params, state.poses, state.disps, state.intrinsics,
-                state.nets, state.inps,
-                self.net_state, self.target, tuple(self.pyramid),
-                jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(mask),
-            )
-
-        self.target = coords1 + delta
-        self.weight = weight
-
-        # per-frame damping update (only frames that appear as ii)
-        damping = jnp.where(
-            has_edge[:, None, None], eta, state.damping
-        )
-        self.video.state = state.replace(damping=damping)
+            self._run_update_op()
 
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
@@ -382,50 +432,26 @@ class FactorGraph:
             self._ba(t0, t1, itrs, use_inactive, motion_only)
         self.age += 1
 
-    def _build_update_core_full(self):
-        net_mod = self.net
-        ht, wd = self.ht, self.wd
-        buf = self.cfg.buffer
-
-        def apply_update(mod, net_state, inp, corr, motn, ix, nseg):
-            return mod.update(net_state, inp, corr, motn, ix=ix, nseg=nseg)
-
-        @jax.jit
-        def fn(params, poses, disps, intrinsics, nets_frames, inps_frames,
-               net_state, target, pyramid, ii, jj, mask):
-            coords1, _ = projective.projective_transform(
-                poses[None], disps[None], intrinsics[None], ii, jj
-            )
-            coords1 = coords1[0]
-            coords0 = projective.coords_grid(ht, wd)
-            motn = jnp.clip(
-                jnp.concatenate(
-                    [coords1 - coords0, target - coords1], axis=-1
-                ),
-                -64.0, 64.0,
-            )
-            corr = corr_ops.lookup_pyramid(
-                [p[None] for p in pyramid], coords1[None]
-            )[0]
-
-            inp = inps_frames[ii]
-            seg = jnp.where(mask, ii, buf)
-            net_new, delta, weight, eta_seg, upmask = net_mod.apply(
-                params, net_state, inp, corr, motn,
-                method=apply_update, ix=seg, nseg=buf,
-            )
-            mask_f = mask[:, None, None, None].astype(net_new.dtype)
-            net_new = net_new * mask_f + net_state * (1 - mask_f)
-            delta = delta * mask_f
-            weight = weight * mask_f
-
-            cnt = jax.ops.segment_sum(
-                jnp.ones_like(seg, jnp.float32), seg, num_segments=buf + 1
-            )[:-1]
-            has_edge = cnt > 0
-            return net_new, coords1, delta, weight, eta_seg, has_edge
-
-        return fn
+    def update_lowmem(self, steps=8, chunk=None):
+        """Global BA sweeps (factor_graph.py:246-290).  The chunked
+        on-the-fly-correlation update core IS the low-memory path; this
+        just runs `steps` rounds with the backend damping profile."""
+        t = self.video.counter
+        for _ in range(steps):
+            if self.n == 0:
+                return
+            with _T.phase("graph.update_core"):
+                self._run_update_op()
+            eta = 0.2 * self.video.state.damping + DAMPING_EPS
+            ii, jj, mask = self._edge_arrays()
+            with _T.phase("graph.ba"):
+                self.video.ba(
+                    self.target, self.weight, eta, ii, jj, mask, 1, t,
+                    itrs=self.cfg.ba_iters,
+                    lm=self.cfg.backend_lm, ep=self.cfg.backend_ep,
+                    motion_only=False,
+                    pose_cap=self.P, depth_cap=self.K, degree_cap=self.D,
+                )
 
     def _ba(self, t0, t1, itrs, use_inactive, motion_only):
         """Assemble (active ∪ filtered-inactive) edges and run dense BA."""
@@ -443,11 +469,10 @@ class FactorGraph:
         jj_i[: len(sel)] = self.jj_inac[sel]
         mask_i[: len(sel)] = True
 
-        # inactive store slots are compact: gather selected rows on device
         perm = np.zeros(self.I, np.int32)
         perm[: len(sel)] = sel
-        t_inac = self.target_inac[jnp.asarray(perm)]
-        w_inac = self.weight_inac[jnp.asarray(perm)]
+        t_inac = take_rows(self.target_inac, jnp.asarray(perm))
+        w_inac = take_rows(self.weight_inac, jnp.asarray(perm))
 
         ii_all = np.concatenate([ii_i, ii])
         jj_all = np.concatenate([jj_i, jj])
@@ -466,137 +491,6 @@ class FactorGraph:
             motion_only=motion_only,
             pose_cap=self.P, depth_cap=self.K, degree_cap=self.D,
         )
-
-    # ------------------------------------------------------------------
-    # low-memory global update (backend path)
-    # ------------------------------------------------------------------
-
-    def _build_lowmem_chunk_fn(self, chunk):
-        """Update-operator pass over `chunk` edges with on-the-fly corr."""
-        net_mod = self.net
-        ht, wd = self.ht, self.wd
-        buf = self.cfg.buffer
-        rig = 2 if self.cfg.stereo else 1
-
-        @jax.jit
-        def fn(params, fmap_pyr, inps_frames, net_chunk, coords1, target,
-               ii_c, jj_c, mask_c):
-            # alt-corr: level-0 source features vs pooled target features
-            f1 = fmap_pyr[0][rig * ii_c]
-            cam2 = rig * jj_c + (ii_c == jj_c).astype(jnp.int32) * (rig - 1)
-            f2_levels = [p[cam2] for p in fmap_pyr]
-            corr = corr_ops.alt_lookup_pyramid(f1, f2_levels, coords1)
-
-            coords0 = projective.coords_grid(ht, wd)
-            motn = jnp.clip(
-                jnp.concatenate(
-                    [coords1 - coords0, target - coords1], axis=-1
-                ),
-                -64.0, 64.0,
-            )
-
-            inp = inps_frames[ii_c]
-            seg = jnp.where(mask_c, ii_c, buf)
-            net_new, delta, weight, eta_seg, _ = net_mod.apply(
-                params, net_chunk, inp, corr, motn,
-                method=lambda m, n, i, c, f, ix, nseg: m.update(
-                    n, i, c, f, ix=ix, nseg=nseg
-                ),
-                ix=seg, nseg=buf,
-            )
-            mask_f = mask_c[:, None, None, None].astype(net_new.dtype)
-            net_new = net_new * mask_f + net_chunk * (1 - mask_f)
-            target_new = coords1 + delta * mask_f
-            weight_new = weight * mask_f
-            cnt = jax.ops.segment_sum(
-                jnp.ones_like(seg, jnp.float32), seg, num_segments=buf + 1
-            )[:-1]
-            return net_new, target_new, weight_new, eta_seg, cnt > 0
-
-        return fn
-
-    def update_lowmem(self, steps=8, chunk=64):
-        """Global BA sweep with on-the-fly correlation
-        (factor_graph.py:246-290): per step, refresh every edge's
-        target/weight in chunks, then one dense BA over all edges."""
-        if self.n == 0:
-            return
-        t = self.video.counter
-        state = self.video.state
-        rig = 2 if self.cfg.stereo else 1
-
-        # pooled feature pyramids over all frames (built once per call)
-        fmaps = state.fmaps.astype(jnp.float32).reshape(
-            (-1,) + state.fmaps.shape[2:]
-        )   # (BUF*rig, h, w, 128)
-        fmap_pyr = tuple(corr_ops.fmap_pyramid(fmaps))
-
-        fn = self._get_jit(("lowmem", chunk),
-                           lambda: self._build_lowmem_chunk_fn(chunk))
-
-        ii, jj, mask = self._edge_arrays()
-        nchunks = (self.E + chunk - 1) // chunk
-
-        for step in range(steps):
-            state = self.video.state
-            coords_all, _ = self.video.reproject(ii, jj)
-
-            for c in range(nchunks):
-                sl = slice(c * chunk, min((c + 1) * chunk, self.E))
-                pad = chunk - (sl.stop - sl.start)
-
-                def padc(x, fill=0):
-                    if pad == 0:
-                        return x
-                    return np.concatenate(
-                        [x, np.full((pad,) + x.shape[1:], fill, x.dtype)]
-                    )
-
-                ii_c = jnp.asarray(padc(ii[sl]))
-                jj_c = jnp.asarray(padc(jj[sl]))
-                mask_c = jnp.asarray(padc(mask[sl]))
-                coords_c = coords_all[sl.start:sl.stop]
-                net_c = self.net_state[sl.start:sl.stop]
-                tgt_c = self.target[sl.start:sl.stop]
-                if pad:
-                    coords_c = jnp.concatenate(
-                        [coords_c, jnp.zeros((pad,) + coords_c.shape[1:])]
-                    )
-                    net_c = jnp.concatenate(
-                        [net_c, jnp.zeros((pad,) + net_c.shape[1:])]
-                    )
-                    tgt_c = jnp.concatenate(
-                        [tgt_c, jnp.zeros((pad,) + tgt_c.shape[1:])]
-                    )
-
-                net_new, tgt_new, wgt_new, eta_seg, has_edge = fn(
-                    self.params, fmap_pyr, state.inps, net_c, coords_c,
-                    tgt_c, ii_c, jj_c, mask_c,
-                )
-                n_real = sl.stop - sl.start
-                self.net_state = self.net_state.at[sl.start:sl.stop].set(
-                    net_new[:n_real]
-                )
-                self.target = self.target.at[sl.start:sl.stop].set(
-                    tgt_new[:n_real]
-                )
-                self.weight = self.weight.at[sl.start:sl.stop].set(
-                    wgt_new[:n_real]
-                )
-                damping = jnp.where(
-                    has_edge[:, None, None], eta_seg, state.damping
-                )
-                self.video.state = state.replace(damping=damping)
-                state = self.video.state
-
-            eta = 0.2 * state.damping + DAMPING_EPS
-            self.video.ba(
-                self.target, self.weight, eta, ii, jj, mask, 1, t,
-                itrs=self.cfg.ba_iters,
-                lm=self.cfg.backend_lm, ep=self.cfg.backend_ep,
-                motion_only=False,
-                pose_cap=self.P, depth_cap=self.K, degree_cap=self.D,
-            )
 
     # ------------------------------------------------------------------
     # graph construction policies
@@ -622,7 +516,6 @@ class FactorGraph:
             return
 
         ii_g, jj_g = np.meshgrid(ix, jx, indexing="ij")
-        # np.array (copy): asarray of a jax array is a read-only view
         with _T.phase("proximity.distance"):
             d = np.array(
                 self.video.distance(ii_g.reshape(-1), jj_g.reshape(-1),
@@ -645,14 +538,15 @@ class FactorGraph:
                     self.add_factors(ii_sel, jj_sel, remove)
             return
 
+        # pure-python fallback (reference semantics)
         d[ii_g - rad < jj_g] = np.inf
         d[d > 100] = np.inf
 
         def suppress(i, j):
-            r = max(min(abs(int(i) - int(j)) - 2, nms), 0)
+            r_ = max(min(abs(int(i) - int(j)) - 2, nms), 0)
             for di in range(-nms, nms + 1):
                 for dj in range(-nms, nms + 1):
-                    if abs(di) + abs(dj) <= r:
+                    if abs(di) + abs(dj) <= r_:
                         i1, j1 = int(i) + di, int(j) + dj
                         if t0 <= i1 < t and t1 <= j1 < t:
                             d[i1 - t0, j1 - t1] = np.inf

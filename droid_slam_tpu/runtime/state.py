@@ -91,6 +91,24 @@ def _append(state, idx, tstamp, image, pose, disp, disp_sens, intr,
 
 
 @jax.jit
+def _fmap_pyramids(fmaps):
+    """Pooled feature pyramids for the on-the-fly correlation.
+
+    (BUF, rig, h, w, 128) -> tuple of 4 levels (BUF·rig, h/2^l, w/2^l, 128)
+    bf16 (raw scale; the update core divides by 4, matching AltCorrBlock's
+    construction, reference modules/corr.py:116-124).
+    """
+    x = fmaps.reshape((-1,) + fmaps.shape[2:]).astype(jnp.bfloat16)
+    levels = [x]
+    for _ in range(3):
+        N, h, w, C = x.shape
+        h2, w2 = h // 2 * 2, w // 2 * 2
+        x = x[:, :h2, :w2].reshape(N, h2 // 2, 2, w2 // 2, 2, C).mean((2, 4))
+        levels.append(x)
+    return tuple(levels)
+
+
+@jax.jit
 def _copy_slot(state, dst, src):
     """Copy keyframe src -> dst (rm_keyframe shift, factor_graph.py:164-181)."""
     def cp(arr):
@@ -167,6 +185,10 @@ class DepthVideo:
 
     def normalize(self):
         self.state = _normalize(self.state, self.counter)
+
+    def fmap_pyramids(self):
+        """Pooled correlation-feature pyramids over all keyframe slots."""
+        return _fmap_pyramids(self.state.fmaps)
 
     # -- geometry ----------------------------------------------------------
 
