@@ -298,12 +298,15 @@ def alt_lookup_level(fmap1, fmap2_level, coords, radius=RADIUS):
     """
     E, H, W, C = fmap1.shape
     h2, w2 = fmap2_level.shape[1:3]
+    # bf16 volume: halves the transient footprint and doubles the lookup
+    # matmul rate; matches the reference's fp16 feature buffers
+    # (depth_video.py:36-38)
     vol = jnp.einsum(
         "epc,eqc->epq",
         fmap1.reshape(E, H * W, C),
         fmap2_level.reshape(E, h2 * w2, C),
         preferred_element_type=jnp.float32,
-    ).reshape(1, E, H, W, h2, w2)
+    ).astype(jnp.bfloat16).reshape(1, E, H, W, h2, w2)
     return lookup_level_onehot(vol, coords[None], radius)[0]
 
 

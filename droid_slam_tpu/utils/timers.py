@@ -12,9 +12,12 @@ from collections import defaultdict
 
 
 class PhaseTimers:
+    RECENT = 20
+
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        self.recent = defaultdict(list)
 
     @contextlib.contextmanager
     def phase(self, name):
@@ -25,6 +28,10 @@ class PhaseTimers:
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1
+            r = self.recent[name]
+            r.append(dt)
+            if len(r) > self.RECENT:
+                r.pop(0)
 
     def summary(self):
         return {
@@ -33,16 +40,21 @@ class PhaseTimers:
                 "count": self.counts[name],
                 "mean_ms": round(1e3 * self.totals[name]
                                  / max(self.counts[name], 1), 3),
+                "warm_ms": round(
+                    1e3 * sum(self.recent[name])
+                    / max(len(self.recent[name]), 1), 3,
+                ),
             }
             for name in sorted(self.totals)
         }
 
     def report(self):
-        lines = [f"{'phase':24s} {'count':>6s} {'mean ms':>10s} {'total s':>9s}"]
+        lines = [f"{'phase':24s} {'count':>6s} {'mean ms':>10s} "
+                 f"{'warm ms':>10s} {'total s':>9s}"]
         for name, s in self.summary().items():
             lines.append(
                 f"{name:24s} {s['count']:6d} {s['mean_ms']:10.2f} "
-                f"{s['total_s']:9.2f}"
+                f"{s['warm_ms']:10.2f} {s['total_s']:9.2f}"
             )
         return "\n".join(lines)
 

@@ -1,0 +1,116 @@
+"""Train DroidNet (data-parallel over all local devices).
+
+TPU-native equivalent of /root/reference/train.py: TartanAir frame-graph
+sampling, unrolled update iterations with two differentiable BA solves per
+step, geodesic+residual+flow losses, one-cycle AdamW, periodic full-state
+checkpoints.
+
+Examples:
+  python train.py --datapath datasets/TartanAir --name droid_tpu \
+      --batch 4 --steps 250000
+  python train.py --synthetic --steps 200          # dataset-free smoke run
+"""
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--name", default="droid_tpu")
+    p.add_argument("--datapath", default=None, help="TartanAir root")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated textured-plane scenes")
+    p.add_argument("--ckpt", default=None, help="resume checkpoint dir")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--steps", type=int, default=250000)
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--clip", type=float, default=2.5)
+    p.add_argument("--iters", type=int, default=15)
+    p.add_argument("--n_frames", type=int, default=7)
+    p.add_argument("--fmin", type=float, default=8.0)
+    p.add_argument("--fmax", type=float, default=96.0)
+    p.add_argument("--edges", type=int, default=24)
+    p.add_argument("--image_size", type=int, nargs=2, default=(384, 512))
+    p.add_argument("--fix_scale", action="store_true")
+    p.add_argument("--ckpt_dir", default="checkpoints")
+    args = p.parse_args()
+
+    if not args.synthetic and args.datapath is None:
+        p.error("provide --datapath or --synthetic")
+
+    from droid_slam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from droid_slam_tpu.config import TrainConfig
+    from droid_slam_tpu.training.trainer import train
+
+    cfg = TrainConfig(
+        name=args.name, lr=args.lr, steps=args.steps, batch=args.batch,
+        iters=args.iters, clip=args.clip, n_frames=args.n_frames,
+        fmin=args.fmin, fmax=args.fmax, edges=args.edges,
+        image_size=tuple(args.image_size), fix_scale=args.fix_scale,
+        ckpt_dir=args.ckpt_dir,
+    )
+
+    if args.synthetic:
+        dataset = _synthetic_dataset(cfg)
+    else:
+        from droid_slam_tpu.data.tartan import TartanAir
+        dataset = TartanAir(
+            args.datapath, n_frames=cfg.n_frames,
+            crop_size=cfg.image_size, fmin=cfg.fmin, fmax=cfg.fmax,
+        )
+
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices), ("data",)) if len(devices) > 1 else None
+    print(f"training on {len(devices)} device(s); "
+          f"{len(dataset) if hasattr(dataset, '__len__') else '?'} samples")
+
+    train(cfg, dataset, mesh=mesh, max_steps=args.steps)
+
+
+def _synthetic_dataset(cfg):
+    """Dataset-free training source: rendered textured-plane scenes."""
+    import numpy as np
+
+    from droid_slam_tpu.data.synthetic import render_plane_scene
+
+    class Synthetic:
+        def __init__(self, n_scenes=16):
+            H, W = cfg.image_size
+            self.scenes = [
+                render_plane_scene(cfg.n_frames + 2, H, W, seed=s)
+                for s in range(n_scenes)
+            ]
+
+        def sample_batches(self, batch_size, rng=None, shuffle=True):
+            rs = np.random.default_rng(0)
+            N = cfg.n_frames
+            while True:
+                items = []
+                for _ in range(batch_size):
+                    sc = self.scenes[rs.integers(len(self.scenes))]
+                    s0 = rs.integers(sc["images"].shape[0] - N + 1)
+                    items.append(dict(
+                        images=sc["images"][s0:s0 + N].astype(np.float32),
+                        poses=sc["poses_c2w"][s0:s0 + N],
+                        disps=(1.0 / sc["depths"][s0:s0 + N]).astype(
+                            np.float32),
+                        intrinsics=sc["intrinsics"][s0:s0 + N],
+                    ))
+                yield {
+                    k: np.stack([it[k] for it in items]) for k in items[0]
+                }
+
+        def __len__(self):
+            return len(self.scenes)
+
+    return Synthetic()
+
+
+if __name__ == "__main__":
+    main()
