@@ -21,6 +21,9 @@ def _bucket(n, lo=32):
 
 
 class Backend:
+    # pluggable for testing (oracle-update graphs)
+    graph_cls = FactorGraph
+
     def __init__(self, net, params, video, cfg):
         self.net = net
         self.params = params
@@ -42,7 +45,7 @@ class Backend:
 
         max_factors = 16 * t
         pose_cap = _bucket(t)
-        graph = FactorGraph(
+        graph = self.graph_cls(
             self.video, self.net, self.params, corr_impl="alt",
             max_factors=max_factors,
             edge_cap=_bucket(max_factors, lo=128),

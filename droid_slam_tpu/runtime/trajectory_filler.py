@@ -17,6 +17,9 @@ from .factor_graph import FactorGraph
 
 
 class TrajectoryFiller:
+    # pluggable for testing (oracle-update graphs)
+    graph_cls = FactorGraph
+
     def __init__(self, net, params, video, cfg):
         self.net = net
         self.params = params
@@ -71,7 +74,7 @@ class TrajectoryFiller:
             )
 
         # a bracketing keyframe can be the source of up to 2·batch edges
-        graph = FactorGraph(
+        graph = self.graph_cls(
             self.video, self.net, self.params, corr_impl="volume",
             max_factors=4 * self.batch,
             edge_cap=2 * self.batch, inac_cap=8,
