@@ -87,6 +87,8 @@ def main():
     p.add_argument("--backend_steps", type=int, nargs=2, default=(7, 12))
     p.add_argument("--output", default="trajectory.txt",
                    help="output trajectory file (t x y z qx qy qz qw)")
+    p.add_argument("--export_ply", default=None,
+                   help="write the filtered keyframe point cloud here")
     args = p.parse_args()
 
     if not args.synthetic and not (args.imagedir and args.calib):
@@ -130,6 +132,11 @@ def main():
         print(f"\rframe {t}  keyframes={droid.video.counter}",
               end="", flush=True)
     print()
+
+    if args.export_ply:
+        from droid_slam_tpu.runtime.visualization import export_point_cloud
+        n_pts = export_point_cloud(droid.video, args.export_ply)
+        print(f"wrote {n_pts} points to {args.export_ply}")
 
     traj = droid.terminate(iter(frames), backend_steps=tuple(args.backend_steps))
 

@@ -111,13 +111,17 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
         state, metrics = step(state, batch)
         total_steps += 1
 
-        if total_steps % log_every == 0:
+        if total_steps % log_every == 0 or total_steps == 1:
             m = {k: float(v) for k, v in metrics.items()}
             m["step_time"] = time.perf_counter() - t0
             logger.push(m, total_steps)
+            print(f"step {total_steps}: loss {m['loss']:.4f} "
+                  f"geo {m['geo']:.4f} flow {m['flow']:.4f} "
+                  f"({m['step_time']:.2f}s)", flush=True)
 
         if total_steps % cfg.ckpt_every == 0:
             os.makedirs(cfg.ckpt_dir, exist_ok=True)
             save_checkpoint(cfg.ckpt_dir, state, total_steps)
 
+    logger.flush(total_steps)
     return state
