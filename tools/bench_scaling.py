@@ -1,0 +1,117 @@
+"""Distributed global-BA scaling benchmark.
+
+Measures wall time of the edge-sharded distributed BA
+(droid_slam_tpu/parallel/dba.py) at increasing device counts on whatever
+mesh is available — real chips, or the virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu).
+Prints one JSON line per device count with per-iteration time and scaling
+efficiency vs 1 device (the BASELINE.json north-star asks for >=70%
+efficiency at 2+ hosts on real hardware).
+
+Usage: python tools/bench_scaling.py [--frames 64] [--hw 30 40]
+"""
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--hw", type=int, nargs=2, default=(30, 40))
+    p.add_argument("--edges_per_frame", type=int, default=12)
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+
+    from droid_slam_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from droid_slam_tpu.geom import projective
+    from droid_slam_tpu.lie import se3
+    from droid_slam_tpu.parallel import dba as pdba
+
+    T = args.frames
+    ht, wd = args.hw
+    BUF = T + 4
+
+    rng = np.random.default_rng(0)
+    xs = np.cumsum(0.03 * rng.standard_normal((T, 6)), 0)
+    xs[0] = 0
+    poses = np.tile([0, 0, 0, 0, 0, 0, 1.0], (BUF, 1)).astype(np.float32)
+    poses[:T] = np.asarray(se3.exp(jnp.asarray(xs, jnp.float32)))
+    disps = (0.6 + 0.25 * rng.random((BUF, ht, wd))).astype(np.float32)
+    intr = np.tile([wd * 1.2, wd * 1.2, wd / 2, ht / 2], (BUF, 1)).astype(
+        np.float32
+    )
+
+    r = max(1, args.edges_per_frame // 2)
+    ii, jj = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+    keep = (np.abs(ii - jj) >= 1) & (np.abs(ii - jj) <= r)
+    ii, jj = ii[keep].astype(np.int32), jj[keep].astype(np.int32)
+
+    target, _ = projective.projective_transform(
+        jnp.asarray(poses)[None], jnp.asarray(disps)[None],
+        jnp.asarray(intr)[None], jnp.asarray(ii), jnp.asarray(jj),
+    )
+    target = np.asarray(target[0])
+    weight = np.ones_like(target)
+    mask = np.ones(len(ii), bool)
+    eta = 1e-4 * np.ones((BUF, ht, wd), np.float32)
+    P_cap = 1
+    while P_cap < T:
+        P_cap *= 2
+
+    def force(x):
+        return float(jnp.sum(x[0]))
+
+    n_dev_avail = len(jax.devices())
+    results = []
+    base_time = None
+    n = 1
+    while n <= n_dev_avail:
+        devs = np.array(jax.devices()[:n])
+        mesh = Mesh(devs, ("ba",))
+        E_shard = (len(ii) + n - 1) // n + 4 * args.edges_per_frame
+        K_shard = (T + n - 1) // n + 4
+        shards = pdba.shard_edges_by_frame(
+            ii, jj, target, weight, mask, n_shards=n,
+            E_shard=E_shard, K_shard=K_shard,
+            D=4 * args.edges_per_frame, t0=1, t1=T,
+        )
+        fn = pdba.make_distributed_ba(mesh, iters=args.iters, P_cap=P_cap)
+        fargs = (
+            jnp.asarray(poses), jnp.asarray(disps),
+            jnp.zeros((BUF, ht, wd)), jnp.asarray(intr), jnp.asarray(eta),
+            *[jnp.asarray(s) for s in shards], 1, T,
+        )
+        force(fn(*fargs))  # warm
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            force(fn(*fargs))
+        dt = (time.perf_counter() - t0) / args.reps / args.iters
+        if base_time is None:
+            base_time = dt
+        eff = base_time / (dt * 1)  # fixed-size problem: time ratio
+        results.append({
+            "devices": n, "ms_per_iteration": round(dt * 1e3, 2),
+            "efficiency_vs_1dev": round(eff, 3),
+        })
+        print(json.dumps(results[-1]), flush=True)
+        n *= 2
+
+    return results
+
+
+if __name__ == "__main__":
+    main()
