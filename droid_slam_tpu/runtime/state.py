@@ -167,11 +167,14 @@ class DepthVideo:
         else:
             disp_sens = np.zeros((self.fht, self.fwd), np.float32)
         if disp is None:
-            disp = np.ones((self.fht, self.fwd), np.float32)
+            # preserve the slot's current value: the frontend extrapolates
+            # the next keyframe's disparity into it (reference
+            # depth_video.py:59-62 keeps the buffer value when item is None)
+            disp = read_slot(self.state.disps, self.counter)
         elif np.ndim(disp) == 0:
             disp = np.full((self.fht, self.fwd), float(disp), np.float32)
         if pose is None:
-            pose = read_slot(self.state.poses, max(self.counter - 1, 0))
+            pose = read_slot(self.state.poses, self.counter)
 
         self.state = _append(
             self.state, self.counter, tstamp, image, pose, disp,
