@@ -193,6 +193,18 @@ class DepthVideo:
         """Pooled correlation-feature pyramids over all keyframe slots."""
         return _fmap_pyramids(self.state.fmaps)
 
+    def upsample(self, ix, mask):
+        """Convex-upsample disparities of frames ix into disps_up
+        (depth_video.py:123-127)."""
+        from ..models.update import upsample_disp
+        from ..ops.gathers import take_rows
+
+        ix = jnp.asarray(ix, jnp.int32).reshape(-1)
+        d = take_rows(self.state.disps, ix)
+        up = upsample_disp(d, mask)
+        disps_up = self.state.disps_up.at[ix].set(up)
+        self.state = self.state.replace(disps_up=disps_up)
+
     # -- geometry ----------------------------------------------------------
 
     def reproject(self, ii, jj):

@@ -53,12 +53,14 @@ def restore_checkpoint(path, state):
 
 
 def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
-          log_every=10, seed=0):
+          log_every=10, seed=0, max_graph_variants=4):
     """Run training over `dataset` (any object with sample_batches()).
 
-    The jitted step is cached per edge-list; the 50/50 graph randomization
-    (train.py:88-94) draws from a small pool of precomputed graphs so jit
-    recompiles stay bounded.
+    The jitted step is cached per edge-list. Each distinct covisibility
+    graph costs a full XLA compile of the unrolled forward, so the 50/50
+    graph randomization (train.py:88-94) is capped at `max_graph_variants`
+    distinct flow-derived graphs; past the cap, uncached graphs fall back
+    to the (always cached) temporal graph.
     """
     net = DroidNet(dtype=jnp.bfloat16)
     state, tx = create_train_state(net, cfg, seed)
@@ -70,9 +72,11 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
 
     step_cache = {}
 
-    def get_step(ii, jj):
+    def get_step(ii, jj, allow_new=True):
         key = (tuple(ii), tuple(jj))
         if key not in step_cache:
+            if not allow_new:
+                return None
             step_cache[key] = make_train_step(
                 net, tx, ii, jj, iters=cfg.iters, fix_scale=cfg.fix_scale,
                 mesh=mesh,
@@ -85,15 +89,18 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
     while total_steps < max_steps:
         batch_np = next(batches)
 
-        # randomize the frame graph (train.py:88-94)
+        # randomize the frame graph (train.py:88-94); bound compiles
+        step = None
         if rng.random() < 0.5:
             ii, jj = build_frame_graph(
                 batch_np["poses"], batch_np["disps"],
                 batch_np["intrinsics"], num=cfg.edges,
             )
-        else:
+            step = get_step(ii, jj,
+                            allow_new=len(step_cache) < max_graph_variants)
+        if step is None:
             ii, jj = temporal_graph(N, r=2)
-        step = get_step(ii, jj)
+            step = get_step(ii, jj)
 
         h8 = batch_np["disps"].shape[2] // 8
         w8 = batch_np["disps"].shape[3] // 8
@@ -124,4 +131,6 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
             save_checkpoint(cfg.ckpt_dir, state, total_steps)
 
     logger.flush(total_steps)
+    os.makedirs(cfg.ckpt_dir, exist_ok=True)
+    save_checkpoint(cfg.ckpt_dir, state, total_steps)
     return state
