@@ -19,18 +19,49 @@ import jax.numpy as jnp
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+@jax.custom_vjp
 def solve_psd(H, b):
     """Solve H x = b for symmetric positive-definite H, batched.
 
     Falls back to a zero update if the factorization fails (non-finite
-    output), mirroring the reference's exception fallback.  Differentiable
-    through jnp.linalg.cholesky / triangular solves.
+    output) and uses the reference CholeskySolver's custom backward
+    (chol.py:5-30): dL/db = H⁻¹ ḡ, dL/dH = −x (H⁻¹ ḡ)ᵀ, with zero
+    gradients on failed factorizations — the default autodiff of
+    cholesky emits NaN gradients for near-singular systems, which
+    poisons training.
     """
-    L = jnp.linalg.cholesky(H)
+    x, _, _ = _solve_psd_fwd_impl(H, b)
+    return x
+
+
+def _chol_solve(L, b):
     y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    x = jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
+    return jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
+
+
+def _solve_psd_fwd_impl(H, b):
+    L = jnp.linalg.cholesky(H)
+    x = _chol_solve(L, b)
     ok = jnp.all(jnp.isfinite(x), axis=(-2, -1), keepdims=True)
-    return jnp.where(ok, x, jnp.zeros_like(x))
+    x = jnp.where(ok, x, jnp.zeros_like(x))
+    L = jnp.where(ok, L, jnp.eye(L.shape[-1], dtype=L.dtype))
+    return x, L, ok
+
+
+def _solve_psd_fwd(H, b):
+    x, L, ok = _solve_psd_fwd_impl(H, b)
+    return x, (L, x, ok)
+
+
+def _solve_psd_bwd(res, g):
+    L, x, ok = res
+    dz = _chol_solve(L, g)
+    dz = jnp.where(ok & jnp.isfinite(dz), dz, 0.0)
+    dH = -jnp.matmul(x, jnp.swapaxes(dz, -1, -2))
+    return dH, dz
+
+
+solve_psd.defvjp(_solve_psd_fwd, _solve_psd_bwd)
 
 
 def _damp(H, ep, lm):

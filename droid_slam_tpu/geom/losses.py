@@ -122,6 +122,9 @@ def flow_loss(Ps, disps, poses_list, disps_list, intrinsics, gamma=0.9):
         )
         v = (val0 * val1)[..., 0]
         epe = v * jnp.linalg.norm(coords1 - coords0, axis=-1)
+        # guard: degenerate estimated depths can produce non-finite
+        # reprojections on masked-out pixels
+        epe = jnp.where(jnp.isfinite(epe), epe, 0.0)
         loss = loss + w * epe.mean()
         epe_last, v_last = epe, v
 

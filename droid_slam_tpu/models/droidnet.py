@@ -136,6 +136,9 @@ class DroidNet(nn.Module):
                 Gs, disps, intrinsics, jnp.asarray(ii), jnp.asarray(jj)
             )
             residual = valid_mask * (target - coords1)
+            # masked-out pixels can carry non-finite reprojections; keep
+            # the residual loss (and its gradients) finite
+            residual = jnp.where(jnp.isfinite(residual), residual, 0.0)
 
             # upsample the disparities of the M aggregated frames
             d_up = upsample_disp(

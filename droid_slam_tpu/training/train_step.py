@@ -37,6 +37,10 @@ def make_optimizer(cfg):
         transition_steps=cfg.steps, peak_value=cfg.lr, pct_start=0.01,
     )
     return optax.chain(
+        # zero non-finite gradients before the global-norm clip: one NaN
+        # leaf otherwise poisons the norm and thus every update (the
+        # reference's GradClip plays the same defensive role per-head)
+        optax.zero_nans(),
         optax.clip_by_global_norm(cfg.clip),
         optax.adamw(schedule, weight_decay=1e-5),
     )
@@ -111,6 +115,8 @@ def make_train_step(net, tx, ii, jj, *, iters=15, fix_scale=True,
         params = {
             "params": optax.apply_updates(state.params["params"], updates)
         }
+        metrics["param_norm"] = optax.global_norm(params["params"])
+        metrics["grad_norm"] = optax.global_norm(grads["params"])
         return TrainState(
             params=params, opt_state=opt_state, step=state.step + 1
         ), metrics

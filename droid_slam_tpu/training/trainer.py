@@ -62,7 +62,10 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
     distinct flow-derived graphs; past the cap, uncached graphs fall back
     to the (always cached) temporal graph.
     """
-    net = DroidNet(dtype=jnp.bfloat16)
+    # f32 compute for training: the reference trains fp32 (AMP is used
+    # only at inference, motion_filter.py:32); bf16 training destabilizes
+    # the flow loss
+    net = DroidNet(dtype=None)
     state, tx = create_train_state(net, cfg, seed)
     logger = Logger(cfg.name)
 
@@ -124,6 +127,7 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
             logger.push(m, total_steps)
             print(f"step {total_steps}: loss {m['loss']:.4f} "
                   f"geo {m['geo']:.4f} flow {m['flow']:.4f} "
+                  f"pnorm {m['param_norm']:.1f} gnorm {m['grad_norm']:.2f} "
                   f"({m['step_time']:.2f}s)", flush=True)
 
         if total_steps % cfg.ckpt_every == 0:
