@@ -38,6 +38,12 @@ class TrajectoryFiller:
         N = self.video.counter
         M = len(tstamps)
         st = self.video.state
+        if N + M > st.poses.shape[0]:
+            raise ValueError(
+                f"trajectory filler needs {N + M} buffer slots "
+                f"(keyframes {N} + batch {M}) but buffer={st.poses.shape[0]};"
+                " increase SLAMConfig.buffer"
+            )
 
         # host copies (device [:N] slices would compile one program per N)
         ts = np.asarray(st.tstamp)[:N]

@@ -62,7 +62,9 @@ def main():
         scene = render_plane_scene(args.n_frames, H, W, seed=seed,
                                    motion_scale=args.motion)
         cfg = SLAMConfig(
-            image_size=(H, W), buffer=max(24, args.n_frames + 4),
+            image_size=(H, W),
+            buffer=args.n_frames + 20,   # keyframes + filler batch
+            filler_batch=8,
             warmup=6, filter_thresh=0.0, keyframe_thresh=0.01,
             frontend_window=10, frontend_pose_cap=32,
             frontend_depth_cap=32, schur_degree_cap=48,
