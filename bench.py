@@ -55,8 +55,8 @@ def main():
     rng = np.random.default_rng(0)
     intr = np.asarray([265.0, 265.0, W / 2, H / 2], np.float32)
 
-    n_warm = 14       # includes initialization at warmup=8 + steady frames
-    n_bench = 20
+    n_warm = 22       # init at warmup=8 + enough frames to cross the
+    n_bench = 20      # power-of-2 distance-query buckets before timing
 
     frames = [synth_frame(t, rng) for t in range(n_warm + n_bench)]
 
