@@ -8,7 +8,7 @@ validity masks — SURVEY.md §7 "hard parts" #1).
 """
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,8 +11,6 @@ pyramid → update op → mean |delta|) is one jit-compiled function; the
 keyframe decision is the only host sync per frame.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..lie import se3
 from ..geom import projective
 from ..ops import dba, distance
 

@@ -11,8 +11,6 @@ TPU-native replacement for DDP/NCCL): params replicated, batch sharded on
 the leading axis; XLA inserts the gradient all-reduce over ICI.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

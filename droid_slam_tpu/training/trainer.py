@@ -18,7 +18,6 @@ import numpy as np
 
 from ..config import TrainConfig
 from ..geom.graph_utils import build_frame_graph, temporal_graph
-from ..lie import se3
 from ..models.droidnet import DroidNet
 from .logger import Logger
 from .train_step import TrainState, create_train_state, make_train_step
