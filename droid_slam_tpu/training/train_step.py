@@ -75,19 +75,22 @@ def make_train_step(net, tx, ii, jj, *, iters=15, fix_scale=True,
     ii = np.asarray(ii)
     jj = np.asarray(jj)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, Gs0, disp0):
         Ps = se3.inv(batch["poses"])        # w2c -> c2w (train.py:84)
         B, N = Ps.shape[:2]
 
-        # pose init: frame 0 at GT, all others at frame 1's pose
-        Gs = jnp.concatenate(
+        # pose init: frame 0 at GT, all others at frame 1's pose — or the
+        # previous attempt's estimates on a random restart (train.py:97-118)
+        Gs_default = jnp.concatenate(
             [Ps[:, :1], jnp.tile(Ps[:, 1:2], (1, N - 1, 1))], axis=1
         )
-        disp0 = jnp.ones_like(batch["disps"])
+        use_restart = jnp.any(disp0 > 0)
+        Gs = jnp.where(use_restart, Gs0, Gs_default)
+        d0 = jnp.where(use_restart, disp0, jnp.ones_like(batch["disps"]))
         intr8 = batch["intrinsics"] / 8.0
 
         poses_est, disps_est, residuals = net.apply(
-            params, Gs, batch["images"], disp0, intr8, ii, jj,
+            params, Gs, batch["images"], d0, intr8, ii, jj,
             num_steps=iters, fixedp=2,
         )
 
@@ -101,12 +104,16 @@ def make_train_step(net, tx, ii, jj, *, iters=15, fix_scale=True,
         loss = w1 * geo + w2 * res + w3 * flo
         metrics = dict(loss=loss, geo=geo, res=res, flow=flo,
                        **geo_m, **res_m, **flo_m)
+        # carry the final estimates for random restarts
+        d_last = jax.lax.stop_gradient(disps_est[-1][:, :, 3::8, 3::8])
+        metrics["_Gs_last"] = jax.lax.stop_gradient(poses_est[-1])
+        metrics["_disp_last"] = d_last
         return loss, metrics
 
-    def step_fn(state, batch):
+    def step_fn(state, batch, Gs0, disp0):
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, batch)
+        )(state.params, batch, Gs0, disp0)
         updates, opt_state = tx.update(
             grads["params"], state.opt_state, state.params["params"]
         )
@@ -128,7 +135,7 @@ def make_train_step(net, tx, ii, jj, *, iters=15, fix_scale=True,
         )
         return jax.jit(
             step_fn,
-            in_shardings=(repl, batch_sharding),
+            in_shardings=(repl, batch_sharding, shard, shard),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )

@@ -117,9 +117,26 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
         )
 
         t0 = time.perf_counter()
-        state, metrics = step(state, batch)
-        total_steps += 1
+        B = batch["images"].shape[0]
+        N2 = batch["images"].shape[1]
+        h8 = batch["disps"].shape[-2]
+        w8 = batch["disps"].shape[-1]
+        Gs0 = jnp.zeros((B, N2, 7))
+        disp0 = jnp.zeros((B, N2, h8, w8))   # all-zero => default init
 
+        # random restarts reusing the last estimates (train.py:102-118;
+        # the reference accumulates gradients across restart passes and
+        # steps once — here each pass is its own optimizer step)
+        r = 0.0
+        while r < cfg.restart_prob:
+            r = rng.random()
+            state, metrics = step(state, batch, Gs0, disp0)
+            Gs0 = metrics.pop("_Gs_last")
+            disp0 = metrics.pop("_disp_last")
+            total_steps += 1
+
+        metrics.pop("_Gs_last", None)
+        metrics.pop("_disp_last", None)
         if total_steps % log_every == 0 or total_steps == 1:
             m = {k: float(v) for k, v in metrics.items()}
             m["step_time"] = time.perf_counter() - t0

@@ -121,9 +121,12 @@ class TestTrainStep:
             intrinsics=jnp.asarray(data["intrinsics"][:N])[None],
         )
 
+        import jax.numpy as jnp2
+        Gs0 = jnp2.zeros((1, N, 7))
+        disp0 = jnp2.zeros((1, N, H // 8, W // 8))
         losses = []
         for _ in range(8):
-            state, metrics = step(state, batch)
+            state, metrics = step(state, batch, Gs0, disp0)
             losses.append(float(metrics["loss"]))
         assert np.all(np.isfinite(losses))
         assert np.mean(losses[-3:]) < losses[0], losses
