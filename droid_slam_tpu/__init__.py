@@ -17,3 +17,20 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keep `import droid_slam_tpu` light)."""
+    if name == "Droid":
+        from .runtime.slam import Droid
+        return Droid
+    if name == "SLAMConfig":
+        from .config import SLAMConfig
+        return SLAMConfig
+    if name == "TrainConfig":
+        from .config import TrainConfig
+        return TrainConfig
+    if name == "PRESETS":
+        from .config import PRESETS
+        return PRESETS
+    raise AttributeError(name)

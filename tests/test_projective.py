@@ -126,3 +126,47 @@ class TestProjectiveTransform:
             poses, disps, intrinsics, jnp.asarray([0]), jnp.asarray([1])
         )
         np.testing.assert_allclose(np.asarray(flow), 0.0, atol=1e-4)
+
+
+class TestFrameDistance:
+    """Semantics of the frame-distance metric (droid_kernels.cu:518-657)."""
+
+    def test_identity_zero(self):
+        from droid_slam_tpu.ops.distance import frame_distance
+        from droid_slam_tpu.lie import se3 as _se3
+
+        poses = _se3.identity((4,))
+        disps = 0.5 * jnp.ones((4, 12, 16))
+        intr = jnp.asarray([16.0, 16.0, 8.0, 6.0])
+        d = frame_distance(poses, disps, intr, jnp.asarray([0, 1]),
+                           jnp.asarray([1, 2]))
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-4)
+
+    def test_translation_flow_magnitude(self):
+        """Pure x-translation of magnitude tx at disparity d induces
+        uniform flow fx·d·tx for both the full and translation-only terms."""
+        from droid_slam_tpu.ops.distance import frame_distance
+        from droid_slam_tpu.lie import se3 as _se3
+
+        poses = np.tile([0, 0, 0, 0, 0, 0, 1.0], (3, 1)).astype(np.float32)
+        poses[1, 0] = -0.2      # w2c translation
+        disps = 0.5 * jnp.ones((3, 12, 16))
+        fx = 16.0
+        intr = jnp.asarray([fx, 16.0, 8.0, 6.0])
+        d = frame_distance(jnp.asarray(poses), disps, intr,
+                           jnp.asarray([0]), jnp.asarray([1]), beta=0.3)
+        # relative motion 0->1: t = -0.2 => |flow| = fx * disp * 0.2 = 1.6
+        np.testing.assert_allclose(float(d[0]), fx * 0.5 * 0.2, rtol=1e-3)
+
+    def test_low_overlap_sentinel(self):
+        """Pairs with <75% of pixels valid must return the 1000 sentinel."""
+        from droid_slam_tpu.ops.distance import frame_distance
+        from droid_slam_tpu.lie import se3 as _se3
+
+        poses = np.tile([0, 0, 0, 0, 0, 0, 1.0], (2, 1)).astype(np.float32)
+        poses[1, 2] = -10.0     # camera far ahead: everything behind it
+        disps = jnp.ones((2, 12, 16))
+        intr = jnp.asarray([16.0, 16.0, 8.0, 6.0])
+        d = frame_distance(jnp.asarray(poses), disps, intr,
+                           jnp.asarray([0]), jnp.asarray([1]))
+        assert float(d[0]) == 1000.0
