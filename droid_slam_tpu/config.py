@@ -58,6 +58,9 @@ class SLAMConfig:
     schur_degree_cap: int = 32
     # trajectory filler batch (reference trajectory_filler.py:95)
     filler_batch: int = 16
+    # fully-fused device-resident frontend (runtime/fused.py): one jitted
+    # program + one readback per keyframe instead of the host-driven loop
+    fused: bool = True
 
     # --- precision ----------------------------------------------------------
     compute_dtype: str = "bfloat16"            # network compute

@@ -15,12 +15,18 @@ from ..utils.timers import GLOBAL_TIMERS as _T
 
 
 class Frontend:
-    def __init__(self, net, params, video, cfg):
+    def __init__(self, net, params, video, cfg, graph_cls=FactorGraph):
         self.video = video
         self.cfg = cfg
-        self.graph = FactorGraph(
+        # update_chunk = full edge capacity: the frontend graph is small
+        # enough to update in one pass, which also makes GraphAgg's
+        # per-source-frame segment mean exact (chunked passes would
+        # aggregate each chunk separately — reference droid_net.py:44-75
+        # aggregates over ALL edges of a frame)
+        self.graph = graph_cls(
             video, net, params, corr_impl="volume",
             max_factors=cfg.frontend_max_factors,
+            update_chunk=cfg.frontend_edge_cap,
         )
 
         self.t0 = 0

@@ -1,0 +1,977 @@
+"""Fully-fused, device-resident frontend: one XLA program per keyframe.
+
+Round-1 profiling showed the host-driven frontend is round-trip bound, not
+compute bound: per keyframe it paid ~5 device→host syncs (motion-filter
+delta, proximity distances, cull check, ...) at ~25 ms relay latency each,
+plus dozens of small dispatches — 400 ms/keyframe wall for < 100 ms of
+device work.  This module re-designs the *entire* per-keyframe update of
+the reference frontend (/root/reference/droid_slam/droid_frontend.py:35-73
++ factor_graph.py:85-369) as ONE jitted program:
+
+    stale-edge retirement → proximity distance grid → NMS greedy edge
+    selection → dedup/LRU-evict/insert → 4 update+BA rounds (lax.scan) →
+    keyframe-cull distance → lax.cond(cull: rm_keyframe | keep: 2 more
+    rounds) → pose/disparity extrapolation
+
+returning a single scalar (the cull decision) to the host.
+
+Design points (all semantics matched to the reference, cited inline):
+
+  * Slot model: edge arrays hold an ACTIVE region [0, EA) — fixed-capacity
+    slots the update operator processes — and an INACTIVE ring [EA, EA+EI)
+    holding retired edges' frozen target/weight (factor_graph.py:136-160
+    `store=True`).  Retiring an edge copies one (h, w, 2) row into the
+    ring (a few KB); the ring overwrites its oldest entry when full, which
+    matches the reference's unbounded store for everything the BA can still
+    use (edges with ii < t0−3 are provably never read again).
+  * The proximity policy (factor_graph.py:305-369; native/proximity.cpp in
+    round 1) runs on device: the distance grid is a masked fixed-shape
+    frame_distance batch, existing-edge suppression is one dense
+    broadcast, and the greedy distance-sorted selection is a fori_loop
+    over the argsort order reading the live-updated grid — exactly the
+    reference algorithm.
+  * All row placement (insert/retire/adopt) is dense selector math — no
+    gathers/scatters (TPU runs them at ~20M elem/s; see ops/gathers.py).
+  * The update+BA round body is shared by lax.scan between the 4 mandatory
+    and 2 conditional iterations, so the update operator and the dense BA
+    compile once.
+"""
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom import projective
+from ..ops import corr as corr_ops
+from ..ops import dba, distance
+from ..ops.gathers import take_rows
+from .factor_graph import DAMPING_EPS
+
+INF = jnp.float32(jnp.inf)
+_SEQ_MOD = 1 << 20      # LRU tie-break modulus (age ⋅ 2²⁰ + reversed seq)
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+@flax.struct.dataclass
+class GraphState:
+    """Device-resident factor graph.
+
+    Slots [0, EA) are the active region; [EA, EA+EI) is the inactive ring.
+    ii/jj/target/weight span both regions; age/seq/active/net cover only
+    the active region.
+    """
+
+    ii: jnp.ndarray        # (EA+EI,) int32 source frame
+    jj: jnp.ndarray        # (EA+EI,) int32 target frame
+    target: jnp.ndarray    # (EA+EI, h, w, 2) f32
+    weight: jnp.ndarray    # (EA+EI, h, w, 2) f32
+    age: jnp.ndarray       # (EA,) int32 updates since insertion
+    seq: jnp.ndarray       # (EA,) int32 insertion sequence (LRU tie-break)
+    active: jnp.ndarray    # (EA,) bool
+    net: jnp.ndarray       # (EA, h, w, 128) f32 GRU state
+    inac: jnp.ndarray      # (EI,) bool — ring slot holds a stored edge
+    ring_ptr: jnp.ndarray  # () int32 next ring write position
+    tick: jnp.ndarray      # () int32 global insertion counter
+
+
+def init_graph_state(EA, EI, h, w):
+    return GraphState(
+        ii=jnp.zeros((EA + EI,), jnp.int32),
+        jj=jnp.zeros((EA + EI,), jnp.int32),
+        target=jnp.zeros((EA + EI, h, w, 2), jnp.float32),
+        weight=jnp.zeros((EA + EI, h, w, 2), jnp.float32),
+        age=jnp.zeros((EA,), jnp.int32),
+        seq=jnp.zeros((EA,), jnp.int32),
+        active=jnp.zeros((EA,), bool),
+        net=jnp.zeros((EA, h, w, 128), jnp.float32),
+        inac=jnp.zeros((EI,), bool),
+        ring_ptr=jnp.zeros((), jnp.int32),
+        tick=jnp.zeros((), jnp.int32),
+    )
+
+
+def _ea(gstate):
+    return gstate.active.shape[0]
+
+
+def _exist_masks(gstate):
+    """(EA+EI,) validity over the whole slot space."""
+    EI = gstate.inac.shape[0]
+    return jnp.concatenate([gstate.active, gstate.inac])
+
+
+# ---------------------------------------------------------------------------
+# retirement to the inactive ring (factor_graph.py:136-160, store=True)
+# ---------------------------------------------------------------------------
+
+
+def _retire(gstate, mask, R=32):
+    """Move up to R masked active edges into the inactive ring."""
+    EA = _ea(gstate)
+    EI = gstate.inac.shape[0]
+
+    rk = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    r = jnp.arange(R, dtype=jnp.int32)
+    sel = mask[None, :] & (rk[None, :] == r[:, None])        # (R, EA)
+    got = jnp.any(sel, axis=1)
+    n = jnp.sum(got.astype(jnp.int32))
+
+    self_f = sel.astype(jnp.float32)
+    ii_r = jnp.sum(sel * gstate.ii[None, :EA], axis=1).astype(jnp.int32)
+    jj_r = jnp.sum(sel * gstate.jj[None, :EA], axis=1).astype(jnp.int32)
+    # guard against non-finite rows in free slots (0·NaN = NaN in einsum)
+    tgt_src = jnp.where(
+        mask[:, None], gstate.target[:EA].reshape(EA, -1), 0.0
+    )
+    wgt_src = jnp.where(
+        mask[:, None], gstate.weight[:EA].reshape(EA, -1), 0.0
+    )
+    tgt_r = jnp.einsum("re,ef->rf", self_f, tgt_src, precision=_HIGH)
+    wgt_r = jnp.einsum("re,ef->rf", self_f, wgt_src, precision=_HIGH)
+
+    pos = (gstate.ring_ptr + r) % EI
+    ringsel = (
+        (jnp.arange(EI)[:, None] == pos[None, :]) & got[None, :]
+    )                                                        # (EI, R)
+    written = jnp.any(ringsel, axis=1)
+    rs_f = ringsel.astype(jnp.float32)
+
+    def place(rows_flat, old):
+        v = jnp.einsum("ir,rf->if", rs_f, rows_flat, precision=_HIGH)
+        v = v.reshape((EI,) + old.shape[1:])
+        m = written.reshape((EI,) + (1,) * (old.ndim - 1))
+        return jnp.where(m, v.astype(old.dtype), old)
+
+    ii = gstate.ii.at[EA:].set(
+        jnp.where(written,
+                  jnp.sum(rs_f * ii_r[None, :], axis=1).astype(jnp.int32),
+                  gstate.ii[EA:])
+    )
+    jj = gstate.jj.at[EA:].set(
+        jnp.where(written,
+                  jnp.sum(rs_f * jj_r[None, :], axis=1).astype(jnp.int32),
+                  gstate.jj[EA:])
+    )
+    target = gstate.target.at[EA:].set(place(tgt_r, gstate.target[EA:]))
+    weight = gstate.weight.at[EA:].set(place(wgt_r, gstate.weight[EA:]))
+
+    return gstate.replace(
+        ii=ii, jj=jj, target=target, weight=weight,
+        active=gstate.active & ~mask,
+        inac=gstate.inac | written,
+        ring_ptr=(gstate.ring_ptr + n) % EI,
+    )
+
+
+# ---------------------------------------------------------------------------
+# proximity edge selection (reference factor_graph.py:305-369)
+# ---------------------------------------------------------------------------
+
+
+def _distance_grid(poses, disps, intr, t0p, t1p, t, SRCP, TGTP, beta, buf):
+    """Masked (SRCP, TGTP) unidirectional frame-distance grid.
+
+    Row r ↦ frame t0p + r, col c ↦ frame t1p + c; cells outside
+    [t0p, t) × [t1p, t) are +inf.
+    """
+    r = jnp.arange(SRCP, dtype=jnp.int32)
+    c = jnp.arange(TGTP, dtype=jnp.int32)
+    gi = (t0p + r)[:, None] + jnp.zeros((1, TGTP), jnp.int32)
+    gj = (t1p + c)[None, :] + jnp.zeros((SRCP, 1), jnp.int32)
+    valid = (gi < t) & (gj < t) & (gi >= 0) & (gj >= 0)
+    ii = jnp.clip(gi.reshape(-1), 0, buf - 1)
+    jj = jnp.clip(gj.reshape(-1), 0, buf - 1)
+    d = distance.frame_distance(poses, disps, intr, ii, jj, beta)
+    return jnp.where(valid, d.reshape(SRCP, TGTP), INF)
+
+
+def _suppress_mask(i, j, t0p, t1p, nms, SRCP, TGTP):
+    """Manhattan-ball suppression cells for one edge (i, j)
+    (factor_graph.py:322-334 / native/proximity.cpp:36-49)."""
+    rad_s = jnp.clip(jnp.abs(i - j) - 2, 0, nms)
+    r = jnp.arange(SRCP, dtype=jnp.int32)[:, None]
+    c = jnp.arange(TGTP, dtype=jnp.int32)[None, :]
+    di = jnp.abs((t0p + r) - i)
+    dj = jnp.abs((t1p + c) - j)
+    return (di + dj) <= rad_s
+
+
+def _select_proximity(d, gstate, t0p, t1p, t, *, rad, nms, thresh,
+                      max_factors, stereo, SRCP, TGTP, GC):
+    """Greedy distance-sorted edge selection with NMS, on device.
+
+    Returns (cand_i, cand_j, cand_valid) of static length
+    NC = SRCP·(1 + 2·(rad+1)) + 2·GC, in the reference's emission order
+    (temporal-radius pairs first, then greedy pairs, both directions
+    interleaved) so downstream seq numbering matches the host path.
+    """
+    S = 1 + 2 * (rad + 1)
+    NC = SRCP * S + 2 * GC
+
+    # exclusions: i - rad < j, invalid distances (proximity.cpp:69-75)
+    r = jnp.arange(SRCP, dtype=jnp.int32)[:, None]
+    c = jnp.arange(TGTP, dtype=jnp.int32)[None, :]
+    gi = t0p + r
+    gj = t1p + c
+    d = jnp.where((gi - rad < gj) | (d > 100.0), INF, d)
+
+    # suppression around existing (active ∪ inactive) edges — one dense
+    # broadcast over all slots (proximity.cpp:77-80)
+    exist = _exist_masks(gstate)
+    rad_e = jnp.clip(jnp.abs(gstate.ii - gstate.jj) - 2, 0, nms)
+    di = jnp.abs(gi[None] - gstate.ii[:, None, None])
+    dj = jnp.abs(gj[None] - gstate.jj[:, None, None])
+    sup = jnp.any(
+        exist[:, None, None] & ((di + dj) <= rad_e[:, None, None]), axis=0
+    )
+    d = jnp.where(sup, INF, d)
+
+    cand_i = jnp.zeros((NC,), jnp.int32)
+    cand_j = jnp.zeros((NC,), jnp.int32)
+    cand_valid = jnp.zeros((NC,), bool)
+
+    # temporal-radius pairs, reference emission order
+    # (proximity.cpp:92-102): per source i: [stereo (i,i)], then
+    # (i,j),(j,i) for j = i-rad-1 .. i-1
+    for ro in range(SRCP):
+        i = t0p + ro
+        row_ok = i < t                       # i >= t0p by construction
+        if stereo:
+            cand_i = cand_i.at[ro * S].set(i)
+            cand_j = cand_j.at[ro * S].set(i)
+            cand_valid = cand_valid.at[ro * S].set(row_ok)
+            d = jnp.where(
+                row_ok & (t1p <= i),
+                d.at[ro, jnp.clip(i - t1p, 0, TGTP - 1)].set(INF), d,
+            )
+        for m in range(rad + 1):
+            j = i - rad - 1 + m
+            ok = row_ok & (j >= 0)
+            base = ro * S + 1 + 2 * m
+            cand_i = cand_i.at[base].set(i)
+            cand_j = cand_j.at[base].set(jnp.maximum(j, 0))
+            cand_i = cand_i.at[base + 1].set(jnp.maximum(j, 0))
+            cand_j = cand_j.at[base + 1].set(i)
+            cand_valid = cand_valid.at[base].set(ok)
+            cand_valid = cand_valid.at[base + 1].set(ok)
+            d = jnp.where(
+                ok & (t1p <= j),
+                d.at[ro, jnp.clip(j - t1p, 0, TGTP - 1)].set(INF), d,
+            )
+    n_emit = jnp.sum(cand_valid.astype(jnp.int32))
+
+    # greedy distance-sorted selection (proximity.cpp:104-118): order is
+    # fixed at sort time; suppression mutates d; the d[k] <= thresh check
+    # reads the live value
+    order = jnp.argsort(d.reshape(-1))
+
+    def body(it, carry):
+        d, cand_i, cand_j, cand_valid, count = carry
+        k = order[it]
+        ro, co = k // TGTP, k % TGTP
+        val = d.reshape(-1)[k]
+        i = t0p + ro
+        j = t1p + co
+        take = (val <= thresh) & (count <= max_factors)
+
+        base = SRCP * S + 2 * it
+        cand_i = cand_i.at[base].set(i)
+        cand_j = cand_j.at[base].set(j)
+        cand_i = cand_i.at[base + 1].set(j)
+        cand_j = cand_j.at[base + 1].set(i)
+        cand_valid = cand_valid.at[base].set(take)
+        cand_valid = cand_valid.at[base + 1].set(take)
+
+        sup = _suppress_mask(i, j, t0p, t1p, nms, SRCP, TGTP)
+        d = jnp.where(take & sup, INF, d)
+        count = count + jnp.where(take, 2, 0)
+        return d, cand_i, cand_j, cand_valid, count
+
+    _, cand_i, cand_j, cand_valid, _ = jax.lax.fori_loop(
+        0, GC, body, (d, cand_i, cand_j, cand_valid, n_emit)
+    )
+    return cand_i, cand_j, cand_valid
+
+
+# ---------------------------------------------------------------------------
+# dedup + LRU eviction + slot insertion (reference factor_graph.py:43-133)
+# ---------------------------------------------------------------------------
+
+
+def _insert_candidates(gstate, vstate, cand_i, cand_j, cand_valid,
+                       *, max_factors):
+    """Dedup against existing edges, LRU-evict over the factor budget,
+    and write the surviving candidates into free active slots."""
+    EA = _ea(gstate)
+    NC = cand_i.shape[0]
+
+    # dedup vs active ∪ inactive (factor_graph.py:43-54)
+    exist = _exist_masks(gstate)
+    dup = jnp.any(
+        exist[None, :]
+        & (cand_i[:, None] == gstate.ii[None, :])
+        & (cand_j[:, None] == gstate.jj[None, :]),
+        axis=1,
+    )
+    new_valid = cand_valid & ~dup
+    n_new = jnp.sum(new_valid.astype(jnp.int32))
+
+    # LRU eviction by (age desc, insertion seq asc) (factor_graph.py:102-106)
+    n_active = jnp.sum(gstate.active.astype(jnp.int32))
+    room = max_factors - n_active
+    n_evict = jnp.where(
+        (n_new > room) & (n_active > 0),
+        jnp.minimum(n_active, n_new - jnp.maximum(room, 0)), 0,
+    )
+    prio = gstate.age * _SEQ_MOD + (_SEQ_MOD - 1 - gstate.seq % _SEQ_MOD)
+    prio = jnp.where(gstate.active, prio, -1)
+    perm = jnp.argsort(-prio)                    # descending priority
+    rank = jnp.sum(
+        (perm[None, :] == jnp.arange(EA)[:, None])
+        * jnp.arange(EA)[None, :], axis=1,
+    )
+    evict = gstate.active & (rank < n_evict)
+    gstate = _retire(gstate, evict)              # store=True semantics
+
+    # free-slot assignment: candidate with new-rank k takes the k-th free
+    # slot; overflow candidates are dropped (factor_graph.py:98-100)
+    free = ~gstate.active
+    n_free = jnp.sum(free.astype(jnp.int32))
+    new_rank = jnp.cumsum(new_valid.astype(jnp.int32)) - 1
+    inserted = new_valid & (new_rank < n_free)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    A = (
+        free[:, None] & inserted[None, :]
+        & (free_rank[:, None] == new_rank[None, :])
+    )                                            # (EA, NC) one-hot
+    taken = jnp.any(A, axis=1)
+    Af = A.astype(jnp.float32)
+
+    def pick(vals, old):
+        v = jnp.sum(Af * vals[None, :].astype(jnp.float32), axis=1)
+        return jnp.where(taken, v.astype(old.dtype), old)
+
+    ii_a = pick(cand_i, gstate.ii[:EA])
+    jj_a = pick(cand_j, gstate.jj[:EA])
+    age = jnp.where(taken, 0, gstate.age)
+    slot_rank = jnp.sum(Af * new_rank[None, :], axis=1).astype(jnp.int32)
+    seq = jnp.where(taken, gstate.tick + slot_rank, gstate.seq)
+    tick = gstate.tick + jnp.sum(inserted.astype(jnp.int32))
+
+    # row data: GRU state from the source frame's context features
+    # (factor_graph.py:108), target from reprojection (factor_graph.py:112)
+    ci = jnp.clip(cand_i, 0, vstate.poses.shape[0] - 1)
+    cj = jnp.clip(cand_j, 0, vstate.poses.shape[0] - 1)
+    cand_net = take_rows(vstate.nets, ci)
+    cand_tgt, _ = projective.projective_transform(
+        vstate.poses[None], vstate.disps[None], vstate.intrinsics[None],
+        ci, cj,
+    )
+    cand_tgt = cand_tgt[0]
+
+    def place(rows, old):
+        flat = rows.reshape(NC, -1).astype(jnp.float32)
+        # zero non-inserted rows BEFORE the selector contraction: clipped
+        # frame indices of invalid candidates can reference empty buffer
+        # slots (zero intrinsics → NaN reprojection), and 0·NaN = NaN
+        # would pollute every output row of the einsum
+        flat = jnp.where(inserted[:, None], flat, 0.0)
+        v = jnp.einsum("ec,cf->ef", Af, flat, precision=_HIGH)
+        v = v.reshape(old.shape)
+        m = taken.reshape((EA,) + (1,) * (old.ndim - 1))
+        return jnp.where(m, v.astype(old.dtype), old)
+
+    net = place(cand_net, gstate.net)
+    target = gstate.target.at[:EA].set(place(cand_tgt, gstate.target[:EA]))
+    weight = gstate.weight.at[:EA].set(
+        jnp.where(taken[:, None, None, None], 0.0, gstate.weight[:EA])
+    )
+
+    return gstate.replace(
+        ii=gstate.ii.at[:EA].set(ii_a),
+        jj=gstate.jj.at[:EA].set(jj_a),
+        age=age, seq=seq, active=gstate.active | taken,
+        tick=tick, net=net, target=target, weight=weight,
+    )
+
+
+# ---------------------------------------------------------------------------
+# one update-operator + BA round (reference factor_graph.py:196-242)
+# ---------------------------------------------------------------------------
+
+
+def _build_kx(ii, mask_ba, t0, t1b, buf, K):
+    """Depth-frame list kx = [t0, t1b) ∪ {ii of BA edges}, on device
+    (mirrors droid_kernels.cu:1337-1344 / dba.build_schur_tables)."""
+    b = jnp.arange(buf, dtype=jnp.int32)
+    win = (b >= t0) & (b < t1b)
+    incident = jnp.any((ii[None, :] == b[:, None]) & mask_ba[None, :], axis=1)
+    member = win | incident
+    rank = jnp.cumsum(member.astype(jnp.int32)) - 1
+    k = jnp.arange(K, dtype=jnp.int32)
+    sel = member[None, :] & (rank[None, :] == k[:, None])
+    kx = jnp.sum(sel * b[None, :], axis=1).astype(jnp.int32)
+    kmask = k < jnp.sum(member.astype(jnp.int32))
+    return kx, kmask
+
+
+def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
+    """Build the shared (update operator + BA) round body.
+
+    oracle: optional dict {poses (N,7) w2c, disps (N,h,w), intr8 (4,)} —
+    replaces the learned update with the ground-truth-reprojection oracle
+    (unit confidence, fixed damping) used by the golden-trajectory tests.
+    """
+    rig = 2 if cfg.stereo else 1
+
+    def update_round(params, vstate, gstate, fmap_pyr):
+        EA = _ea(gstate)
+        ii_a = gstate.ii[:EA]
+        jj_a = gstate.jj[:EA]
+        active = gstate.active
+        m4 = active[:, None, None, None]
+
+        if oracle is not None:
+            n_gt = oracle["poses"].shape[0]
+            coords_gt, valid = projective.projective_transform(
+                oracle["poses"][None], oracle["disps"][None],
+                jnp.broadcast_to(oracle["intr8"], (1, n_gt, 4)),
+                jnp.clip(ii_a, 0, n_gt - 1), jnp.clip(jj_a, 0, n_gt - 1),
+            )
+            target_a = jnp.where(m4, coords_gt[0], gstate.target[:EA])
+            weight_a = jnp.where(
+                m4, valid[0] * jnp.ones_like(target_a), 0.0
+            )
+            vstate = vstate.replace(
+                damping=1e-4 * jnp.ones_like(vstate.damping)
+            )
+            gstate = gstate.replace(
+                target=gstate.target.at[:EA].set(target_a),
+                weight=gstate.weight.at[:EA].set(weight_a),
+            )
+        else:
+            # ---- update operator over the active region ----
+            coords1, _ = projective.projective_transform(
+                vstate.poses[None], vstate.disps[None],
+                vstate.intrinsics[None], ii_a, jj_a,
+            )
+            coords1 = coords1[0]
+            coords0 = projective.coords_grid(ht, wd)
+            motn = jnp.clip(
+                jnp.concatenate(
+                    [coords1 - coords0, gstate.target[:EA] - coords1],
+                    axis=-1,
+                ), -64.0, 64.0,
+            )
+
+            f1 = take_rows(fmap_pyr[0], rig * ii_a).astype(jnp.float32) / 4.0
+            cam2 = rig * jj_a + (ii_a == jj_a).astype(jnp.int32) * (rig - 1)
+            f2 = [
+                take_rows(p, cam2).astype(jnp.float32) / 4.0
+                for p in fmap_pyr
+            ]
+            corr = corr_ops.alt_lookup_pyramid(f1, f2, coords1)
+
+            inp = take_rows(vstate.inps, ii_a)
+            seg = jnp.where(active, ii_a, buf)
+            net_new, delta, weight, eta_seg, upmask = net_mod.apply(
+                params, gstate.net, inp, corr, motn,
+                method=lambda m, n, i, c, f, ix, nseg: m.update(
+                    n, i, c, f, ix=ix, nseg=nseg
+                ),
+                ix=seg, nseg=buf,
+            )
+            # where-blends, not arithmetic masks: inactive slots may hold
+            # non-finite values and 0·NaN = NaN would leak through `x·mask`
+            net_new = jnp.where(m4, net_new, gstate.net)
+            target_a = jnp.where(m4, coords1 + delta, gstate.target[:EA])
+            weight_a = jnp.where(m4, weight, 0.0)
+            cnt = jax.ops.segment_sum(
+                jnp.ones_like(seg, jnp.float32), seg, num_segments=buf + 1
+            )[:-1]
+            damping = jnp.where(
+                (cnt > 0)[:, None, None], eta_seg, vstate.damping
+            )
+            vstate = vstate.replace(damping=damping)
+            gstate = gstate.replace(
+                net=net_new,
+                target=gstate.target.at[:EA].set(target_a),
+                weight=gstate.weight.at[:EA].set(weight_a),
+            )
+
+            if cfg.upsample:
+                from ..models.update import upsample_disp
+                up = upsample_disp(vstate.disps, upmask)
+                disps_up = jnp.where(
+                    (cnt > 0)[:, None, None], up, vstate.disps_up
+                )
+                vstate = vstate.replace(disps_up=disps_up)
+
+        # ---- dense BA over active ∪ recent-inactive edges
+        #      (factor_graph.py:223-240, use_inactive=True) ----
+        big = jnp.int32(buf + 1)
+        min_ii = jnp.min(jnp.where(active, ii_a, big))
+        t0 = jnp.maximum(1, min_ii + 1)
+        t1b = jnp.max(jnp.where(active, jnp.maximum(ii_a, jj_a), -1)) + 1
+
+        exist = _exist_masks(gstate)
+        recent = (gstate.ii >= t0 - 3) & (gstate.jj >= t0 - 3)
+        mask_ba = exist & recent
+        mask_ba = mask_ba.at[:EA].set(active)    # active: no recency filter
+
+        eta = 0.2 * vstate.damping + DAMPING_EPS
+        kx, kmask = _build_kx(gstate.ii, mask_ba, t0, t1b, buf, K)
+        poses, disps = dba.ba(
+            vstate.poses, vstate.disps, vstate.disps_sens,
+            vstate.intrinsics, gstate.target, gstate.weight, eta,
+            gstate.ii, gstate.jj, mask_ba, kx, kmask,
+            jnp.zeros((K, 1), jnp.int32), t0, t1b,
+            iters=cfg.ba_iters, lm=cfg.frontend_lm, ep=cfg.frontend_ep,
+            motion_only=False, P=P,
+        )
+        vstate = vstate.replace(poses=poses, disps=disps)
+        gstate = gstate.replace(
+            age=jnp.where(active, gstate.age + 1, gstate.age)
+        )
+        return vstate, gstate
+
+    return update_round
+
+
+# ---------------------------------------------------------------------------
+# the fused per-keyframe program (reference droid_frontend.py:35-73)
+# ---------------------------------------------------------------------------
+
+
+def _extrapolate(vstate, tx):
+    """Next-pose/disparity initialization (droid_frontend.py:69-70)."""
+    from .state import read_slot, write_slot
+
+    poses = write_slot(vstate.poses, tx, read_slot(vstate.poses, tx - 1))
+    disps = write_slot(
+        vstate.disps, tx,
+        jnp.broadcast_to(
+            read_slot(vstate.disps, tx - 1).mean(), vstate.disps.shape[1:]
+        ),
+    )
+    return vstate.replace(poses=poses, disps=disps)
+
+
+def _shift_down(vstate, ix):
+    """video[ix] = video[ix+1] (rm_keyframe, factor_graph.py:164-181)."""
+    from .state import read_slot
+
+    def cp(arr):
+        b = jnp.arange(arr.shape[0]).reshape(
+            (-1,) + (1,) * (arr.ndim - 1)
+        )
+        nxt = read_slot(arr, ix + 1)
+        return jnp.where(b == ix, nxt.astype(arr.dtype), arr)
+
+    return vstate.replace(
+        tstamp=cp(vstate.tstamp), images=cp(vstate.images),
+        poses=cp(vstate.poses), disps=cp(vstate.disps),
+        disps_sens=cp(vstate.disps_sens), intrinsics=cp(vstate.intrinsics),
+        fmaps=cp(vstate.fmaps), nets=cp(vstate.nets), inps=cp(vstate.inps),
+    )
+
+
+def _pyramids(fmaps):
+    """Pooled feature pyramids (see state._fmap_pyramids)."""
+    x = fmaps.reshape((-1,) + fmaps.shape[2:]).astype(jnp.bfloat16)
+    levels = [x]
+    for _ in range(3):
+        N, h, w, C = x.shape
+        h2, w2 = h // 2 * 2, w // 2 * 2
+        x = x[:, :h2, :w2].reshape(N, h2 // 2, 2, w2 // 2, 2, C).mean((2, 4))
+        levels.append(x)
+    return tuple(levels)
+
+
+def fused_caps(cfg):
+    """Static capacities derived from the config."""
+    window = cfg.frontend_window
+    SRCP = 8
+    TGTP = int(np.ceil((window + 7) / 8) * 8)
+    GC = max(48, cfg.frontend_max_factors)
+    P = K = max(32, int(np.ceil((window + 10) / 8) * 8))
+    EA = max(64, int(np.ceil((cfg.frontend_max_factors + 16) / 8) * 8))
+    EI = cfg.frontend_edge_cap
+    return SRCP, TGTP, GC, P, K, EA, EI
+
+
+def make_keyframe_core(net_mod, cfg, buf, ht, wd, oracle=None):
+    """The traced per-keyframe update body (droid_frontend.py:35-73).
+    Returns fn(params, vstate, gstate, t1) -> (vstate, gstate, cull)."""
+    rad = cfg.frontend_radius
+    nms = cfg.frontend_nms
+    window = cfg.frontend_window
+    SRCP, TGTP, GC, P, K, EA, EI = fused_caps(cfg)
+
+    update_round = make_update_round(net_mod, cfg, buf, ht, wd, P, K,
+                                     oracle=oracle)
+
+    def keyframe_step(params, vstate, gstate, t1):
+        t1 = jnp.asarray(t1, jnp.int32)
+        # feature pyramids hoisted once per keyframe (fmaps don't change
+        # within the step)
+        fmap_pyr = _pyramids(vstate.fmaps)
+
+        # 1. retire stale edges (droid_frontend.py:41-42, store=True)
+        stale = gstate.active & (gstate.age > cfg.max_age)
+        gstate = _retire(gstate, stale)
+
+        # 2. proximity edges (droid_frontend.py:44-45)
+        t0p = t1 - 5
+        t1p = jnp.maximum(t1 - window, 0)
+        intr0 = vstate.intrinsics[0]
+        d = _distance_grid(
+            vstate.poses, vstate.disps, intr0, t0p, t1p, t1,
+            SRCP, TGTP, cfg.beta, buf,
+        )
+        ci, cj, cv = _select_proximity(
+            d, gstate, t0p, t1p, t1, rad=rad, nms=nms,
+            thresh=cfg.frontend_thresh,
+            max_factors=cfg.frontend_max_factors, stereo=cfg.stereo,
+            SRCP=SRCP, TGTP=TGTP, GC=GC,
+        )
+        gstate = _insert_candidates(
+            gstate, vstate, ci, cj, cv,
+            max_factors=cfg.frontend_max_factors,
+        )
+
+        # 3. seed the new keyframe's disparity from sensor depth
+        from .state import read_slot, write_slot
+
+        ds = read_slot(vstate.disps_sens, t1 - 1)
+        d_new = jnp.where(ds > 0, ds, read_slot(vstate.disps, t1 - 1))
+        vstate = vstate.replace(
+            disps=write_slot(vstate.disps, t1 - 1, d_new)
+        )
+
+        # 4. mandatory update+BA rounds (droid_frontend.py:49-50)
+        def round_body(carry, _):
+            v, g = carry
+            v, g = update_round(params, v, g, fmap_pyr)
+            return (v, g), None
+
+        (vstate, gstate), _ = jax.lax.scan(
+            round_body, (vstate, gstate), None, length=cfg.frontend_iters1
+        )
+
+        # 5. keyframe cull check (droid_frontend.py:57-62)
+        dc = distance.frame_distance(
+            vstate.poses, vstate.disps, intr0,
+            jnp.stack([t1 - 3, t1 - 2]), jnp.stack([t1 - 2, t1 - 3]),
+            cfg.beta,
+        )
+        cull = 0.5 * (dc[0] + dc[1]) < cfg.keyframe_thresh
+
+        def cull_branch(vstate, gstate):
+            ix = t1 - 2
+            vstate = _shift_down(vstate, ix)
+            touch = _exist_masks(gstate) & (
+                (gstate.ii == ix) | (gstate.jj == ix)
+            )
+            gstate = gstate.replace(
+                ii=jnp.where(gstate.ii >= ix, gstate.ii - 1, gstate.ii),
+                jj=jnp.where(gstate.jj >= ix, gstate.jj - 1, gstate.jj),
+                active=gstate.active & ~touch[:EA],
+                inac=gstate.inac & ~touch[EA:],
+            )
+            return _extrapolate(vstate, t1 - 1), gstate
+
+        def keep_branch(vstate, gstate):
+            (vstate, gstate), _ = jax.lax.scan(
+                round_body, (vstate, gstate), None,
+                length=cfg.frontend_iters2,
+            )
+            return _extrapolate(vstate, t1), gstate
+
+        vstate, gstate = jax.lax.cond(
+            cull, cull_branch, keep_branch, vstate, gstate
+        )
+        return vstate, gstate, cull.astype(jnp.int32)
+
+    return keyframe_step
+
+
+def build_keyframe_step(net_mod, cfg, buf, ht, wd, oracle=None):
+    """Compile-once fused keyframe update (one dispatch, one readback)."""
+    return jax.jit(make_keyframe_core(net_mod, cfg, buf, ht, wd,
+                                      oracle=oracle))
+
+
+def build_track_step(net_mod, cfg, buf, H, W, oracle=None):
+    """The fully-fused steady-state per-frame program.
+
+    Fuses the motion filter (reference motion_filter.py:45-82), the
+    conditional keyframe append (depth_video.py:46-103), and the entire
+    frontend keyframe update into ONE jitted program with the keyframe
+    counter held on device — the host can stream frames with NO blocking
+    readback per frame (flags are fetched lazily).
+
+    Returns fn(params, vstate, gstate, counter, t1, image, tstamp, intr8,
+    disp_sens) -> (vstate, gstate, counter, t1, flags) with
+    flags = [is_keyframe, cull, counter'] int32.  Only valid once the
+    frontend is initialized (counter > warmup).
+    """
+    from ..models.droidnet import normalize_images
+
+    ht, wd = H // 8, W // 8
+    rig = 2 if cfg.stereo else 1
+    keyframe_core = make_keyframe_core(net_mod, cfg, buf, ht, wd,
+                                       oracle=oracle)
+
+    def track_step(params, vstate, gstate, counter, t1, image, tstamp,
+                   intr8, disp_sens):
+        from .state import read_slot
+
+        x = normalize_images(image)                    # (rig, H, W, 3)
+        fmap = net_mod.apply(params, x, method=lambda m, x: m.fnet(x))
+
+        # motion gate: 1-edge corr + one update iteration vs the last
+        # keyframe (motion_filter.py:66-73)
+        kf_fmap = read_slot(vstate.fmaps, counter - 1)  # (rig, h, w, 128)
+        knet = read_slot(vstate.nets, counter - 1)
+        kinp = read_slot(vstate.inps, counter - 1)
+
+        f1 = kf_fmap[0:1].astype(jnp.float32) / 4.0
+        f2l = fmap[0:1].astype(jnp.float32) / 4.0
+        f2_pyr = [f2l]
+        for _ in range(3):
+            N, hh, ww, C = f2_pyr[-1].shape
+            h2, w2 = hh // 2 * 2, ww // 2 * 2
+            f2_pyr.append(
+                f2_pyr[-1][:, :h2, :w2]
+                .reshape(N, h2 // 2, 2, w2 // 2, 2, C).mean((2, 4))
+            )
+        coords0 = projective.coords_grid(ht, wd)[None]
+        corr = corr_ops.alt_lookup_pyramid(f1, f2_pyr, coords0)
+        _, delta, _ = net_mod.apply(
+            params, knet[None], kinp[None], corr,
+            method=lambda m, n, i, c: m.update(n, i, c),
+        )
+        dmag = jnp.mean(jnp.linalg.norm(delta, axis=-1))
+        is_kf = dmag > cfg.filter_thresh
+
+        def kf_branch(vstate, gstate, counter, t1):
+            # context features only for keyframes (motion_filter.py:61,77)
+            ctx = net_mod.apply(
+                params, x[0:1], method=lambda m, x: m.cnet(x)
+            )
+            netc, inpc = jnp.split(ctx[0], 2, axis=-1)
+            netc = jnp.tanh(netc)
+            inpc = jax.nn.relu(inpc)
+
+            # append (pose/disp keep the extrapolated slot values,
+            # depth_video.py:59-62)
+            c = counter
+            vstate = vstate.replace(
+                tstamp=vstate.tstamp.at[c].set(tstamp),
+                images=vstate.images.at[c].set(image[0]),
+                disps_sens=vstate.disps_sens.at[c].set(disp_sens),
+                intrinsics=vstate.intrinsics.at[c].set(intr8),
+                fmaps=vstate.fmaps.at[c].set(fmap.astype(jnp.bfloat16)),
+                nets=vstate.nets.at[c].set(netc),
+                inps=vstate.inps.at[c].set(inpc),
+            )
+            counter = counter + 1
+            t1n = t1 + 1
+            vstate, gstate, cull = keyframe_core(
+                params, vstate, gstate, t1n
+            )
+            return (vstate, gstate, counter - cull, t1n - cull,
+                    jnp.stack([jnp.int32(1), cull, counter - cull]))
+
+        def skip_branch(vstate, gstate, counter, t1):
+            return (vstate, gstate, counter, t1,
+                    jnp.stack([jnp.int32(0), jnp.int32(0), counter]))
+
+        return jax.lax.cond(
+            is_kf, kf_branch, skip_branch, vstate, gstate, counter, t1
+        )
+
+    return jax.jit(track_step, donate_argnums=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+
+class FusedFrontend:
+    """Drop-in replacement for runtime.frontend.Frontend: identical
+    semantics, one jitted program + one readback per keyframe.
+
+    Initialization (the one-time warmup bootstrap,
+    droid_frontend.py:75-106) reuses the host-driven Frontend machinery,
+    then converts its factor graph into the device-resident GraphState.
+    """
+
+    def __init__(self, net, params, video, cfg, graph_cls=None,
+                 oracle=None):
+        self.video = video
+        self.cfg = cfg
+        self.net = net
+        self.params = params
+        self.graph_cls = graph_cls
+        self.oracle = oracle
+
+        self.t1 = 0
+        self.is_initialized = False
+        h, w = video.fht, video.fwd
+        _, _, _, _, _, EA, EI = fused_caps(cfg)
+        self.gstate = init_graph_state(EA, EI, h, w)
+        self._step = build_keyframe_step(net, cfg, cfg.buffer, h, w,
+                                         oracle=oracle)
+        self._track = None          # built lazily on first streamed frame
+        self._counter_dev = None    # device-resident keyframe counter
+        self._t1_dev = None
+        self._last_flags = None
+        self._since_sync = 0
+
+    def __call__(self):
+        if not self.is_initialized and self.video.counter == self.cfg.warmup:
+            self._initialize()
+        elif self.is_initialized and self.t1 < self.video.counter:
+            self.t1 += 1
+            vstate, gstate, cull = self._step(
+                self.params, self.video.state, self.gstate,
+                jnp.asarray(self.t1, jnp.int32),
+            )
+            self.video.state = vstate
+            self.gstate = gstate
+            if int(cull):
+                self.video.counter -= 1
+                self.t1 -= 1
+
+    def active_edges(self):
+        """(ii, jj) numpy arrays of the active edge set (diagnostics)."""
+        g = self.gstate
+        act = np.asarray(g.active)
+        ea = act.shape[0]
+        return (np.asarray(g.ii)[:ea][act], np.asarray(g.jj)[:ea][act])
+
+    # -- zero-readback streaming (steady state) ---------------------------
+
+    def track_frame(self, tstamp, image, depth=None, intrinsics=None):
+        """Fully-fused per-frame path: motion filter + conditional keyframe
+        append + frontend update in ONE dispatch, counter on device.  The
+        host never blocks; flags are synced lazily every 16 frames."""
+        H, W = self.cfg.image_size
+        if self._track is None:
+            self._track = build_track_step(
+                self.net, self.cfg, self.cfg.buffer, H, W,
+                oracle=self.oracle,
+            )
+        if self._counter_dev is None:
+            self._counter_dev = jnp.asarray(self.video.counter, jnp.int32)
+            self._t1_dev = jnp.asarray(self.t1, jnp.int32)
+
+        image = jnp.asarray(image)
+        if image.ndim == 3:
+            image = image[None]
+        if depth is not None:
+            d = np.asarray(depth)[3::8, 3::8]
+            disp_sens = jnp.asarray(
+                np.where(d > 0, 1.0 / np.maximum(d, 1e-8), 0.0), jnp.float32
+            )
+        else:
+            disp_sens = jnp.zeros(
+                (self.video.fht, self.video.fwd), jnp.float32
+            )
+
+        out = self._track(
+            self.params, self.video.state, self.gstate,
+            self._counter_dev, self._t1_dev, image,
+            jnp.asarray(tstamp, jnp.float32),
+            jnp.asarray(intrinsics, jnp.float32) / 8.0, disp_sens,
+        )
+        (self.video.state, self.gstate, self._counter_dev,
+         self._t1_dev, self._last_flags) = out
+
+        self._since_sync += 1
+        if self._since_sync >= 16:
+            self.sync()
+
+    def sync(self):
+        """Block on the latest streamed frame and refresh host mirrors."""
+        if self._last_flags is None:
+            return
+        flags = np.asarray(self._last_flags)
+        self.video.counter = int(flags[2])
+        self.t1 = self.video.counter
+        self._since_sync = 0
+        if self.video.counter > self.cfg.buffer - 4:
+            raise RuntimeError(
+                f"keyframe buffer nearly full "
+                f"({self.video.counter}/{self.cfg.buffer}); increase "
+                f"SLAMConfig.buffer for this sequence"
+            )
+
+    def _initialize(self):
+        from .factor_graph import FactorGraph
+        from .frontend import Frontend
+
+        boot = Frontend(self.net, self.params, self.video, self.cfg,
+                        graph_cls=self.graph_cls or FactorGraph)
+        boot._initialize()
+        self.t1 = boot.t1
+        self.is_initialized = True
+        self._adopt(boot.graph)
+
+    def _adopt(self, graph):
+        """Convert a host-driven FactorGraph into GraphState regions."""
+        g = self.gstate
+        EA = _ea(g)
+        EI = g.inac.shape[0]
+        n = len(graph.ii)
+        assert n <= EA, f"{n} boot edges exceed active capacity {EA}"
+
+        ii = np.zeros(EA + EI, np.int32)
+        jj = np.zeros(EA + EI, np.int32)
+        age = np.zeros(EA, np.int32)
+        seq = np.zeros(EA, np.int32)
+        active = np.zeros(EA, bool)
+        inac = np.zeros(EI, bool)
+
+        ii[:n] = graph.ii
+        jj[:n] = graph.jj
+        age[:n] = graph.age
+        seq[:n] = np.arange(n)
+        active[:n] = True
+
+        slots = jnp.asarray(
+            np.concatenate([graph.slots,
+                            np.zeros(EA - n, np.int64)]).astype(np.int32)
+        )
+        net = take_rows(graph.net_state, slots)
+        target_a = take_rows(graph.target, slots)
+        weight_a = take_rows(graph.weight, slots)
+
+        n_i = min(len(graph.ii_inac), EI)
+        ii[EA:EA + n_i] = graph.ii_inac[-n_i:]
+        jj[EA:EA + n_i] = graph.jj_inac[-n_i:]
+        inac[:n_i] = True
+        start = len(graph.ii_inac) - n_i
+        target_i = jnp.concatenate([
+            graph.target_inac[start:start + n_i],
+            jnp.zeros((EI - n_i,) + graph.target_inac.shape[1:]),
+        ])
+        weight_i = jnp.concatenate([
+            graph.weight_inac[start:start + n_i],
+            jnp.zeros((EI - n_i,) + graph.weight_inac.shape[1:]),
+        ])
+
+        self.gstate = g.replace(
+            ii=jnp.asarray(ii), jj=jnp.asarray(jj),
+            age=jnp.asarray(age), seq=jnp.asarray(seq),
+            active=jnp.asarray(active), inac=jnp.asarray(inac),
+            ring_ptr=jnp.asarray(n_i % EI, jnp.int32),
+            tick=jnp.asarray(n, jnp.int32),
+            net=net,
+            target=jnp.concatenate([target_a, target_i]),
+            weight=jnp.concatenate([weight_a, weight_i]),
+        )

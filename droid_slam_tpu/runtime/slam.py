@@ -37,7 +37,12 @@ class Droid:
         self.video = DepthVideo(config)
         self.filter = MotionFilter(self.net, params, self.video,
                                    thresh=config.filter_thresh)
-        self.frontend = Frontend(self.net, params, self.video, config)
+        if config.fused:
+            from .fused import FusedFrontend
+            self.frontend = FusedFrontend(self.net, params, self.video,
+                                          config)
+        else:
+            self.frontend = Frontend(self.net, params, self.video, config)
         self.backend = Backend(self.net, params, self.video, config)
         self.traj_filler = TrajectoryFiller(self.net, params, self.video,
                                             config)
@@ -53,9 +58,20 @@ class Droid:
         )
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
-        """Ingest one frame: motion filter + frontend (droid.py:61-72)."""
-        self.filter.track(tstamp, image, depth, intrinsics)
-        self.frontend()
+        """Ingest one frame: motion filter + frontend (droid.py:61-72).
+
+        Once the fused frontend is initialized, the whole frame is handled
+        by one device program with no blocking readback (runtime/fused.py).
+        """
+        if self.cfg.fused and self.frontend.is_initialized:
+            self.frontend.track_frame(tstamp, image, depth, intrinsics)
+        else:
+            self.filter.track(tstamp, image, depth, intrinsics)
+            self.frontend()
+
+    def _sync(self):
+        if hasattr(self.frontend, "sync"):
+            self.frontend.sync()
 
     def terminate(self, stream=None, backend_steps=(7, 12)):
         """Final global optimization + trajectory fill (droid.py:74-88).
@@ -63,6 +79,7 @@ class Droid:
         Returns (n, 7) c2w poses [t, q] for every frame of `stream`
         (or keyframe poses if no stream is given).
         """
+        self._sync()
         del self.frontend
 
         for steps in backend_steps:

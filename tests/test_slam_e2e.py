@@ -71,8 +71,8 @@ def test_stereo_pipeline():
         droid.track(t, np.stack([left, right]), intrinsics=intr)
 
     assert droid.video.counter >= cfg.warmup
-    g = droid.frontend.graph
-    assert (g.ii == g.jj).any()   # stereo self-edges present
+    ii, jj = droid.frontend.active_edges()
+    assert (ii == jj).any()   # stereo self-edges present
     st = droid.video.state
     assert np.all(np.isfinite(np.asarray(st.poses[:droid.video.counter])))
 
