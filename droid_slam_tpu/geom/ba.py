@@ -7,9 +7,12 @@ Fully differentiable — the training loop backprops through this and the
 retraction, exactly like the reference (train.py:110-115).
 
 TPU notes:
-  * Edge lists (ii, jj) are *static* Python/numpy arrays: the training graph
-    is fixed per batch, so scatter targets are resolved at trace time and all
-    segment sums lower to static XLA scatter-adds.
+  * Edge lists (ii, jj) may be TRACED arrays: all segment ids are computed
+    with jnp.where, so a single compile serves every covisibility graph up
+    to the padded edge capacity (invalid slots carry zero weight).
+  * Depth rows are per-frame (M = P) rather than unique(ii)-compacted —
+    identical semantics (frames without edges get a pure-damping row and
+    zero update), jit-stable shapes.
   * Per-edge block assembly is einsum over the flattened pixel axis — large
     MXU matmuls at HIGHEST precision.
 """
@@ -30,9 +33,9 @@ _W_SCALE = 0.001
 _EP_DEPTH = 1e-7
 
 
-def _static_edges(ii, jj):
-    ii = np.asarray(ii).reshape(-1).astype(np.int64)
-    jj = np.asarray(jj).reshape(-1).astype(np.int64)
+def _as_edges(ii, jj):
+    ii = jnp.asarray(ii).reshape(-1).astype(jnp.int32)
+    jj = jnp.asarray(jj).reshape(-1).astype(jnp.int32)
     return ii, jj
 
 
@@ -40,21 +43,21 @@ def _scatter_mat(A, ii, jj, n, m):
     """Scatter-add per-edge (D,D') blocks into an (n, m) block grid.
 
     Out-of-range (fixed-pose) indices are dropped, matching
-    safe_scatter_add_mat (reference ba.py:12-14).
+    safe_scatter_add_mat (reference ba.py:12-14).  ii/jj may be traced.
     """
     v = (ii >= 0) & (jj >= 0) & (ii < n) & (jj < m)
-    idx = np.where(v, ii * m + jj, n * m)  # n*m = drop bucket
+    idx = jnp.where(v, ii * m + jj, n * m)  # n*m = drop bucket
     out = jax.ops.segment_sum(
-        jnp.moveaxis(A, 1, 0), jnp.asarray(idx), num_segments=n * m + 1
+        jnp.moveaxis(A, 1, 0), idx, num_segments=n * m + 1
     )[:-1]
     return jnp.moveaxis(out, 0, 1).reshape((A.shape[0], n, m) + A.shape[2:])
 
 
 def _scatter_vec(b, ii, n):
     v = (ii >= 0) & (ii < n)
-    idx = np.where(v, ii, n)
+    idx = jnp.where(v, ii, n)
     out = jax.ops.segment_sum(
-        jnp.moveaxis(b, 1, 0), jnp.asarray(idx), num_segments=n + 1
+        jnp.moveaxis(b, 1, 0), idx, num_segments=n + 1
     )[:-1]
     return jnp.moveaxis(out, 0, 1)
 
@@ -71,11 +74,14 @@ def _linearize(target, weight, poses, disps, intrinsics, ii, jj):
     HW = ht * wd
 
     coords, valid, (Ji, Jj, Jz) = projective.projective_transform(
-        poses, disps, intrinsics, jnp.asarray(ii), jnp.asarray(jj), jacobian=True
+        poses, disps, intrinsics, ii, jj, jacobian=True
     )
 
     r = (target - coords).reshape(B, E, HW * 2, 1)
     w = (_W_SCALE * valid * weight).reshape(B, E, HW * 2, 1)
+    # padded-edge targets can be arbitrary; w is zero there, keep products
+    # finite
+    r = jnp.where(jnp.isfinite(r), r, 0.0)
 
     Ji = Ji.reshape(B, E, HW * 2, 6)
     Jj = Jj.reshape(B, E, HW * 2, 6)
@@ -111,16 +117,16 @@ def ba(target, weight, eta, poses, disps, intrinsics, ii, jj,
     """One full bundle-adjustment step (reference geom/ba.py:31-106).
 
     Args:
-      target, weight: (B, E, H, W, 2).
-      eta: (B, M, H, W) per-pixel depth damping for the M unique source
-        frames (M = len(unique(ii))).
+      target, weight: (B, E, H, W, 2).  Padded edge slots must carry zero
+        weight.
+      eta: (B, P, H, W) per-pixel, per-frame depth damping.
       poses: (B, P, 7); disps: (B, P, H, W); intrinsics: (B, P, 4).
-      ii, jj: static (E,) numpy edge lists.
+      ii, jj: (E,) edge lists (traced or static).
       fixedp: number of anchored poses at the start of the window.
 
     Returns updated (poses, disps).
     """
-    ii, jj = _static_edges(ii, jj)
+    ii, jj = _as_edges(ii, jj)
     B, P = poses.shape[:2]
     ht, wd = disps.shape[-2:]
     HW = ht * wd
@@ -128,13 +134,12 @@ def ba(target, weight, eta, poses, disps, intrinsics, ii, jj,
     blocks = _linearize(target, weight, poses, disps, intrinsics, ii, jj)
     Hii, Hij, Hji, Hjj, vi, vj, Ei, Ej, Ck, wk = blocks
 
-    kx, kk = np.unique(ii, return_inverse=True)
-    M = kx.shape[0]
-
     # only optimize keyframe poses (drop the first `fixedp`)
     Pp = P // rig - fixedp
     iio = ii // rig - fixedp
     jjo = jj // rig - fixedp
+    kk = ii // rig                       # depth row of the source frame
+    M = P // rig
 
     H = (
         _scatter_mat(Hii, iio, iio, Pp, Pp)
@@ -158,9 +163,7 @@ def ba(target, weight, eta, poses, disps, intrinsics, ii, jj,
     dx_full = dx_full.at[:, fixedp:fixedp + Pp].set(dx)
     poses = se3.retr(poses, dx_full)
 
-    dz_full = jnp.zeros((B, P, HW), disps.dtype)
-    dz_full = dz_full.at[:, jnp.asarray(kx)].add(dz)
-    disps = disps + dz_full.reshape(B, P, ht, wd)
+    disps = disps + dz.reshape(B, M, ht, wd)
 
     disps = jnp.where(disps > 10.0, jnp.zeros_like(disps), disps)
     disps = jnp.maximum(disps, 0.0)
@@ -170,7 +173,7 @@ def ba(target, weight, eta, poses, disps, intrinsics, ii, jj,
 def moba(target, weight, poses, disps, intrinsics, ii, jj,
          fixedp=1, rig=1, ep=0.1, lm=1e-4):
     """Motion-only bundle adjustment (reference geom/ba.py:109-157)."""
-    ii, jj = _static_edges(ii, jj)
+    ii, jj = _as_edges(ii, jj)
     B, P = poses.shape[:2]
 
     blocks = _linearize(target, weight, poses, disps, intrinsics, ii, jj)

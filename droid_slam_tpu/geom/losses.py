@@ -25,17 +25,30 @@ def _fit_scale(Ps, Gs, ii, jj):
     return s
 
 
-def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True):
+def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True,
+                  edge_mask=None):
     """γ-weighted relative-pose error over the graph (losses.py:30-74).
 
     Args:
       Ps: (B, N, 7) ground-truth poses.
-      Gs_list: list of (B, N, 7) per-iteration estimates.
-      ii, jj: static edge lists.
+      Gs_list: list of (B, N, 7) per-iteration estimates, or a stacked
+        (S, B, N, 7) array.
+      ii, jj: edge lists (traced or static).
+      edge_mask: optional (E,) validity for padded edge slots — masked
+        means so padding never dilutes the loss.
     Returns (loss, metrics).
     """
-    ii = np.asarray(ii)
-    jj = np.asarray(jj)
+    ii = jnp.asarray(ii)
+    jj = jnp.asarray(jj)
+    if edge_mask is None:
+        edge_mask = jnp.ones(ii.shape, bool)
+    m = edge_mask.astype(jnp.float32)[None, :]      # (1, E)
+    denom = jnp.maximum(m.sum(), 1.0)
+
+    def emean(x):
+        """Masked mean over the (B, E) axes."""
+        return (x * m).sum() / (denom * x.shape[0])
+
     dP = se3.mul(jnp.take(Ps, jj, 1), se3.inv(jnp.take(Ps, ii, 1)))
 
     n = len(Gs_list)
@@ -53,17 +66,17 @@ def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True):
             d = sim3.log(sim3.mul(dGs, sim3.inv(dPs)))
             tau, phi, sig = d[..., :3], d[..., 3:6], d[..., 6:]
             loss = loss + w * (
-                jnp.linalg.norm(tau, axis=-1).mean()
-                + jnp.linalg.norm(phi, axis=-1).mean()
-                + 0.05 * jnp.abs(sig).mean()
+                emean(jnp.linalg.norm(tau, axis=-1))
+                + emean(jnp.linalg.norm(phi, axis=-1))
+                + 0.05 * emean(jnp.abs(sig)[..., 0])
             )
             dE = sim3.mul(dGs, sim3.inv(dPs))
         else:
             d = se3.log(se3.mul(dG, se3.inv(dP)))
             tau, phi = d[..., :3], d[..., 3:6]
             loss = loss + w * (
-                jnp.linalg.norm(tau, axis=-1).mean()
-                + jnp.linalg.norm(phi, axis=-1).mean()
+                emean(jnp.linalg.norm(tau, axis=-1))
+                + emean(jnp.linalg.norm(phi, axis=-1))
             )
             dE = sim3.from_se3(se3.mul(dG, se3.inv(dP)))
 
@@ -72,20 +85,30 @@ def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True):
     r_err = (180.0 / np.pi) * ang
     t_err = jnp.linalg.norm(dE[..., :3], axis=-1)
     metrics = {
-        "rot_error": r_err.mean(),
-        "tr_error": t_err.mean(),
-        "bad_rot": (r_err < 0.1).mean(),
-        "bad_tr": (t_err < 0.01).mean(),
+        "rot_error": emean(r_err),
+        "tr_error": emean(t_err),
+        "bad_rot": emean((r_err < 0.1).astype(jnp.float32)),
+        "bad_tr": emean((t_err < 0.01).astype(jnp.float32)),
     }
     return loss, metrics
 
 
-def residual_loss(residuals, gamma=0.9):
-    """γ-weighted mean |residual| (losses.py:77-86)."""
+def residual_loss(residuals, gamma=0.9, edge_mask=None):
+    """γ-weighted mean |residual| (losses.py:77-86).
+
+    Padded edges carry exact-zero residual rows; with edge_mask the mean
+    is taken over valid edges only.
+    """
     n = len(residuals)
     loss = 0.0
     for i, r in enumerate(residuals):
-        loss = loss + gamma ** (n - i - 1) * jnp.abs(r).mean()
+        if edge_mask is not None:
+            E = r.shape[1]
+            scale = E / jnp.maximum(edge_mask.sum(), 1.0)
+            term = jnp.abs(r).mean() * scale
+        else:
+            term = jnp.abs(r).mean()
+        loss = loss + gamma ** (n - i - 1) * term
     return loss, {"residual": loss}
 
 

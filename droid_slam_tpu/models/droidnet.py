@@ -21,6 +21,7 @@ from flax import linen as nn
 from ..geom import ba as geom_ba
 from ..geom import projective
 from ..ops import corr as corr_ops
+from ..ops.gathers import take_rows
 from .extractor import BasicEncoder
 from .update import UpdateModule, upsample_disp
 
@@ -56,7 +57,7 @@ class DroidNet(nn.Module):
         return fmaps, jnp.tanh(net), jax.nn.relu(inp)
 
     def __call__(self, Gs, images, disps, intrinsics, ii, jj,
-                 num_steps=12, fixedp=2):
+                 num_steps=12, fixedp=2, edge_mask=None):
         """Training forward (reference droid_net.py:172-222).
 
         Args:
@@ -64,37 +65,63 @@ class DroidNet(nn.Module):
           images: (B, N, H, W, 3) RGB.
           disps: (B, N, H/8, W/8) initial inverse depths.
           intrinsics: (B, N, 4) at 1/8 resolution.
-          ii, jj: static numpy edge lists.
+          ii, jj: (E,) edge lists — may be TRACED arrays (one compile
+            serves every covisibility graph up to capacity E).
+          edge_mask: optional (E,) bool validity for padded edge slots.
 
-        Returns lists (per step) of poses, upsampled disps, residuals.
+        Returns stacked per-iteration (poses (S,B,N,7),
+        upsampled disps (S,B,N,8h,8w), residuals (S,B,E,h,w,2)).
+
+        TPU design vs the reference loop (droid_net.py:196-218): the
+        num_steps iterations run under lax.scan with a rematerialized
+        body, so compile time is flat in the unroll depth (a Python
+        unroll's remote-compile time explodes superlinearly) while the
+        GRU state still backpropagates through the whole chain; edges
+        aggregate into per-frame segments (nseg = N) rather than
+        unique(ii)-compacted ones — identical semantics, jit-stable
+        shapes.
         """
-        ii = np.asarray(ii).reshape(-1)
-        jj = np.asarray(jj).reshape(-1)
-        kx, kk = np.unique(ii, return_inverse=True)
-        M = len(kx)
-        B = images.shape[0]
+        ii = jnp.asarray(ii).reshape(-1)
+        jj = jnp.asarray(jj).reshape(-1)
+        E = ii.shape[0]
+        if edge_mask is None:
+            edge_mask = jnp.ones((E,), bool)
+        B, N = images.shape[:2]
         ht, wd = images.shape[2] // 8, images.shape[3] // 8
 
         fmaps, net_all, inp_all = self.extract_features(images)
-        net = jnp.take(net_all, ii, axis=1)
-        inp = jnp.take(inp_all, ii, axis=1)
+
+        def take_frames(x, idx):
+            # gather-free row take per batch element (TPU: ops/gathers.py)
+            return jax.vmap(take_rows, in_axes=(0, None))(x, idx)
+
+        net = take_frames(net_all, ii)
+        inp = take_frames(inp_all, ii)
 
         volume = corr_ops.corr_volume(
-            jnp.take(fmaps, ii, axis=1), jnp.take(fmaps, jj, axis=1)
+            take_frames(fmaps, ii), take_frames(fmaps, jj)
         )
         pyramid = corr_ops.build_pyramid(volume)
 
         coords0 = projective.coords_grid(ht, wd)
         coords1, _ = projective.projective_transform(
-            Gs, disps, intrinsics, jnp.asarray(ii), jnp.asarray(jj)
+            Gs, disps, intrinsics, ii, jj
         )
         target = coords1
 
-        E = len(ii)
-        kk_j = jnp.asarray(kk)
+        m_e = edge_mask[None, :, None, None, None]  # (1,E,1,1,1)
+        # fold (B, E) into the leading axis for the update operator;
+        # per-frame segments with a dump row for padded edges
+        seg1 = jnp.where(edge_mask, ii, N)
+        seg_ids = jnp.tile(seg1, B) + jnp.repeat(
+            jnp.arange(B) * (N + 1), E
+        )
 
-        Gs_list, disp_list, residual_list = [], [], []
-        for _ in range(num_steps):
+        def fold(x):
+            return x.reshape((B * E,) + x.shape[2:])
+
+        def step(carry, _):
+            Gs, disps, net, target, coords1 = carry
             Gs = jax.lax.stop_gradient(Gs)
             disps = jax.lax.stop_gradient(disps)
             coords1 = jax.lax.stop_gradient(coords1)
@@ -107,22 +134,15 @@ class DroidNet(nn.Module):
                 jnp.concatenate([flow, resd], axis=-1), -64.0, 64.0
             )
 
-            # fold (B, E) into the leading axis for the update operator
-            def fold(x):
-                return x.reshape((B * E,) + x.shape[2:])
-
-            seg_ids = jnp.tile(kk_j, B) + jnp.repeat(
-                jnp.arange(B) * M, E
-            )
             net_f, delta, weight, eta, upmask = self.update(
                 fold(net), fold(inp), fold(corr), fold(motion),
-                ix=seg_ids, nseg=B * M,
+                ix=seg_ids, nseg=B * (N + 1),
             )
             net = net_f.reshape(B, E, ht, wd, 128)
             delta = delta.reshape(B, E, ht, wd, 2)
-            weight = weight.reshape(B, E, ht, wd, 2)
-            eta = eta.reshape(B, M, ht, wd)
-            upmask = upmask.reshape(B, M, ht, wd, 8 * 8 * 9)
+            weight = weight.reshape(B, E, ht, wd, 2) * m_e
+            eta = eta.reshape(B, N + 1, ht, wd)[:, :N]
+            upmask = upmask.reshape(B, N + 1, ht, wd, 8 * 8 * 9)[:, :N]
 
             target = coords1 + delta
 
@@ -133,23 +153,31 @@ class DroidNet(nn.Module):
                 )
 
             coords1, valid_mask = projective.projective_transform(
-                Gs, disps, intrinsics, jnp.asarray(ii), jnp.asarray(jj)
+                Gs, disps, intrinsics, ii, jj
             )
-            residual = valid_mask * (target - coords1)
+            residual = valid_mask * (target - coords1) * m_e
             # masked-out pixels can carry non-finite reprojections; keep
             # the residual loss (and its gradients) finite
             residual = jnp.where(jnp.isfinite(residual), residual, 0.0)
 
-            # upsample the disparities of the M aggregated frames
+            # upsample every frame's disparity (reference upsamples the
+            # aggregated frames; per-frame segments make that all frames)
             d_up = upsample_disp(
-                jnp.take(disps, jnp.asarray(kx), axis=1).reshape(
-                    B * M, ht, wd
-                ),
-                upmask.reshape(B * M, ht, wd, -1),
-            ).reshape(B, M, 8 * ht, 8 * wd)
+                disps.reshape(B * N, ht, wd),
+                upmask.reshape(B * N, ht, wd, -1),
+            ).reshape(B, N, 8 * ht, 8 * wd)
 
-            Gs_list.append(Gs)
-            disp_list.append(d_up)
-            residual_list.append(residual)
+            return (Gs, disps, net, target, coords1), (Gs, d_up, residual)
 
-        return Gs_list, disp_list, residual_list
+        carry0 = (Gs, disps, net, target, coords1)
+        if self.is_initializing():
+            # flax cannot create parameters inside lax.scan; one direct
+            # body call materializes them (output shapes are irrelevant
+            # during init)
+            _, out = step(carry0, None)
+            return jax.tree_util.tree_map(lambda x: x[None], out)
+
+        _, outs = jax.lax.scan(
+            jax.checkpoint(step), carry0, None, length=num_steps,
+        )
+        return outs

@@ -63,17 +63,38 @@ def create_train_state(net, cfg, rng_seed=0):
     ), tx
 
 
-def make_train_step(net, tx, ii, jj, *, iters=15, fix_scale=True,
+def pad_edges(ii, jj, cap):
+    """Pad an edge list to static capacity with a validity mask."""
+    ii = np.asarray(ii).reshape(-1)
+    jj = np.asarray(jj).reshape(-1)
+    n = len(ii)
+    if n > cap:
+        ii, jj, n = ii[:cap], jj[:cap], cap
+    ii_p = np.zeros(cap, np.int32)
+    jj_p = np.zeros(cap, np.int32)
+    mask = np.zeros(cap, bool)
+    ii_p[:n], jj_p[:n], mask[:n] = ii, jj, True
+    return ii_p, jj_p, mask
+
+
+def make_train_step(net, tx, *, iters=15, fix_scale=True,
                     w1=10.0, w2=0.01, w3=0.05, mesh=None):
-    """Build the jitted train step for a fixed edge list.
+    """Build the jitted (grad_fn, apply_fn) pair.
+
+    Edge lists are traced inputs padded to a static capacity
+    (batch["ii"/"jj"/"edge_mask"]) so ONE compile serves every sampled
+    covisibility graph — the reference samples a fresh graph per batch
+    (train.py:88-94).  grad/apply are split so random-restart chains can
+    accumulate gradients across passes and step the optimizer once,
+    matching the reference's loss.backward() accumulation
+    (train.py:102-127).
 
     batch: dict(images (B,N,H,W,3), poses (B,N,7) w2c GT,
                 disps (B,N,h,w) GT inverse depth at 1/8,
                 disps_full (B,N,H,W) GT at full res,
-                intrinsics (B,N,4) full-res).
+                intrinsics (B,N,4) full-res,
+                ii/jj (E,) int32, edge_mask (E,) bool).
     """
-    ii = np.asarray(ii)
-    jj = np.asarray(jj)
 
     def loss_fn(params, batch, Gs0, disp0):
         Ps = se3.inv(batch["poses"])        # w2c -> c2w (train.py:84)
@@ -88,15 +109,18 @@ def make_train_step(net, tx, ii, jj, *, iters=15, fix_scale=True,
         Gs = jnp.where(use_restart, Gs0, Gs_default)
         d0 = jnp.where(use_restart, disp0, jnp.ones_like(batch["disps"]))
         intr8 = batch["intrinsics"] / 8.0
+        ii, jj = batch["ii"], batch["jj"]
+        emask = batch["edge_mask"]
 
         poses_est, disps_est, residuals = net.apply(
             params, Gs, batch["images"], d0, intr8, ii, jj,
-            num_steps=iters, fixedp=2,
+            num_steps=iters, fixedp=2, edge_mask=emask,
         )
 
         geo, geo_m = losses.geodesic_loss(Ps, poses_est, ii, jj,
-                                          do_scale=not fix_scale)
-        res, res_m = losses.residual_loss(residuals)
+                                          do_scale=not fix_scale,
+                                          edge_mask=emask)
+        res, res_m = losses.residual_loss(residuals, edge_mask=emask)
         flo, flo_m = losses.flow_loss(
             Ps, batch["disps_full"], poses_est, disps_est,
             batch["intrinsics"],
@@ -110,18 +134,29 @@ def make_train_step(net, tx, ii, jj, *, iters=15, fix_scale=True,
         metrics["_disp_last"] = d_last
         return loss, metrics
 
-    def step_fn(state, batch, Gs0, disp0):
+    def grad_fn(params, batch, Gs0, disp0):
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, batch, Gs0, disp0)
+        )(params, batch, Gs0, disp0)
+        return grads["params"], metrics
+
+    def accum_fn(acc, params, batch, Gs0, disp0):
+        """One restart pass: gradients added into the running sum."""
+        g, metrics = grad_fn(params, batch, Gs0, disp0)
+        acc = jax.tree.map(jnp.add, acc, g)
+        return acc, metrics
+
+    def apply_fn(state, grads):
         updates, opt_state = tx.update(
-            grads["params"], state.opt_state, state.params["params"]
+            grads, state.opt_state, state.params["params"]
         )
         params = {
             "params": optax.apply_updates(state.params["params"], updates)
         }
-        metrics["param_norm"] = optax.global_norm(params["params"])
-        metrics["grad_norm"] = optax.global_norm(grads["params"])
+        metrics = {
+            "param_norm": optax.global_norm(params["params"]),
+            "grad_norm": optax.global_norm(grads),
+        }
         return TrainState(
             params=params, opt_state=opt_state, step=state.step + 1
         ), metrics
@@ -132,11 +167,16 @@ def make_train_step(net, tx, ii, jj, *, iters=15, fix_scale=True,
         batch_sharding = dict(
             images=shard, poses=shard, disps=shard,
             disps_full=shard, intrinsics=shard,
+            ii=repl, jj=repl, edge_mask=repl,
         )
-        return jax.jit(
-            step_fn,
-            in_shardings=(repl, batch_sharding, shard, shard),
-            out_shardings=(repl, repl),
+        accum_jit = jax.jit(
+            accum_fn,
+            in_shardings=(repl, repl, batch_sharding, shard, shard),
             donate_argnums=(0,),
         )
-    return jax.jit(step_fn, donate_argnums=(0,))
+        apply_jit = jax.jit(
+            apply_fn, in_shardings=(repl, repl), donate_argnums=(0, 1),
+        )
+        return accum_jit, apply_jit
+    return (jax.jit(accum_fn, donate_argnums=(0,)),
+            jax.jit(apply_fn, donate_argnums=(0, 1)))

@@ -52,15 +52,18 @@ def restore_checkpoint(path, state):
 
 
 def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
-          log_every=10, seed=0, max_graph_variants=4):
+          log_every=10, seed=0, edge_cap=None):
     """Run training over `dataset` (any object with sample_batches()).
 
-    The jitted step is cached per edge-list. Each distinct covisibility
-    graph costs a full XLA compile of the unrolled forward, so the 50/50
-    graph randomization (train.py:88-94) is capped at `max_graph_variants`
-    distinct flow-derived graphs; past the cap, uncached graphs fall back
-    to the (always cached) temporal graph.
+    Edge lists are padded to a static capacity and passed as traced
+    inputs, so ONE compile serves every sampled covisibility graph and
+    the 50/50 graph randomization (reference train.py:88-94) runs
+    uncapped.  Random-restart chains accumulate gradients and step the
+    optimizer once, matching the reference's loss.backward() accumulation
+    (train.py:102-127).
     """
+    from .train_step import pad_edges
+
     # f32 compute for training: the reference trains fp32 (AMP is used
     # only at inference, motion_filter.py:32); bf16 training destabilizes
     # the flow loss
@@ -71,19 +74,11 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
     rng = np.random.default_rng(seed)
     max_steps = max_steps or cfg.steps
     N = cfg.n_frames
+    E_cap = edge_cap or int(np.ceil((cfg.edges + 12) / 8) * 8)
 
-    step_cache = {}
-
-    def get_step(ii, jj, allow_new=True):
-        key = (tuple(ii), tuple(jj))
-        if key not in step_cache:
-            if not allow_new:
-                return None
-            step_cache[key] = make_train_step(
-                net, tx, ii, jj, iters=cfg.iters, fix_scale=cfg.fix_scale,
-                mesh=mesh,
-            )
-        return step_cache[key]
+    accum, apply_g = make_train_step(
+        net, tx, iters=cfg.iters, fix_scale=cfg.fix_scale, mesh=mesh,
+    )
 
     batches = dataset.sample_batches(cfg.batch)
     total_steps = int(state.step)
@@ -91,18 +86,15 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
     while total_steps < max_steps:
         batch_np = next(batches)
 
-        # randomize the frame graph (train.py:88-94); bound compiles
-        step = None
+        # randomize the frame graph per batch (train.py:88-94)
         if rng.random() < 0.5:
             ii, jj = build_frame_graph(
                 batch_np["poses"], batch_np["disps"],
                 batch_np["intrinsics"], num=cfg.edges,
             )
-            step = get_step(ii, jj,
-                            allow_new=len(step_cache) < max_graph_variants)
-        if step is None:
+        else:
             ii, jj = temporal_graph(N, r=2)
-            step = get_step(ii, jj)
+        ii_p, jj_p, emask = pad_edges(ii, jj, E_cap)
 
         h8 = batch_np["disps"].shape[2] // 8
         w8 = batch_np["disps"].shape[3] // 8
@@ -114,6 +106,8 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
             ),
             disps_full=jnp.asarray(batch_np["disps"]),
             intrinsics=jnp.asarray(batch_np["intrinsics"]),
+            ii=jnp.asarray(ii_p), jj=jnp.asarray(jj_p),
+            edge_mask=jnp.asarray(emask),
         )
 
         t0 = time.perf_counter()
@@ -124,19 +118,19 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
         Gs0 = jnp.zeros((B, N2, 7))
         disp0 = jnp.zeros((B, N2, h8, w8))   # all-zero => default init
 
-        # random restarts reusing the last estimates (train.py:102-118;
-        # the reference accumulates gradients across restart passes and
-        # steps once — here each pass is its own optimizer step)
+        # random restarts reusing the last estimates, gradients summed
+        # across the chain, ONE optimizer step (train.py:102-127)
+        grads = jax.tree.map(jnp.zeros_like, state.params["params"])
         r = 0.0
         while r < cfg.restart_prob:
             r = rng.random()
-            state, metrics = step(state, batch, Gs0, disp0)
+            grads, metrics = accum(grads, state.params, batch, Gs0, disp0)
             Gs0 = metrics.pop("_Gs_last")
             disp0 = metrics.pop("_disp_last")
-            total_steps += 1
 
-        metrics.pop("_Gs_last", None)
-        metrics.pop("_disp_last", None)
+        state, opt_m = apply_g(state, grads)
+        metrics.update(opt_m)
+        total_steps += 1
         if total_steps % log_every == 0 or total_steps == 1:
             m = {k: float(v) for k, v in metrics.items()}
             m["step_time"] = time.perf_counter() - t0

@@ -54,8 +54,7 @@ class TestFullBA:
         poses = se3.retr(poses_gt, jnp.asarray(noise, dtype=jnp.float32))
         disps = jnp.ones_like(disps_gt)
 
-        M = len(np.unique(ii))
-        eta = 1e-4 * jnp.ones((1, M) + disps.shape[-2:], jnp.float32)
+        eta = 1e-4 * jnp.ones((1, P) + disps.shape[-2:], jnp.float32)
 
         for _ in range(12):
             poses, disps = ba.ba(
@@ -81,8 +80,7 @@ class TestFullBA:
             )
             return float(jnp.sum(v * jnp.abs(target - c)))
 
-        M = len(np.unique(ii))
-        eta = 1e-4 * jnp.ones((1, M) + disps_gt.shape[-2:], jnp.float32)
+        eta = 1e-4 * jnp.ones((1, P) + disps_gt.shape[-2:], jnp.float32)
         r0 = resid(poses, disps)
         for _ in range(8):
             poses, disps = ba.ba(
@@ -98,8 +96,7 @@ class TestFullBA:
         poses_gt, disps_gt, intr, ii, jj, target, weight = build_problem(
             rng, P=3, ht=6, wd=8
         )
-        M = len(np.unique(ii))
-        eta = 1e-4 * jnp.ones((1, M, 6, 8), jnp.float32)
+        eta = 1e-4 * jnp.ones((1, 3, 6, 8), jnp.float32)
 
         def loss(tgt):
             p, d = ba.ba(

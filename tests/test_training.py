@@ -109,8 +109,11 @@ class TestTrainStep:
         net = DroidNet(dtype=None)
         state, tx = create_train_state(net, cfg)
 
+        from droid_slam_tpu.training.train_step import pad_edges
+
         ii, jj = temporal_graph(N, r=1)
-        step = make_train_step(net, tx, ii, jj, iters=2)
+        ii_p, jj_p, emask = pad_edges(ii, jj, 8)
+        accum, apply_g = make_train_step(net, tx, iters=2)
 
         disps_full = 1.0 / data["depths"][:N]
         batch = dict(
@@ -119,6 +122,8 @@ class TestTrainStep:
             disps=jnp.asarray(disps_full[:, 3::8, 3::8])[None],
             disps_full=jnp.asarray(disps_full)[None],
             intrinsics=jnp.asarray(data["intrinsics"][:N])[None],
+            ii=jnp.asarray(ii_p), jj=jnp.asarray(jj_p),
+            edge_mask=jnp.asarray(emask),
         )
 
         import jax.numpy as jnp2
@@ -126,7 +131,9 @@ class TestTrainStep:
         disp0 = jnp2.zeros((1, N, H // 8, W // 8))
         losses = []
         for _ in range(8):
-            state, metrics = step(state, batch, Gs0, disp0)
+            grads = jax.tree.map(jnp2.zeros_like, state.params["params"])
+            grads, metrics = accum(grads, state.params, batch, Gs0, disp0)
+            state, _ = apply_g(state, grads)
             losses.append(float(metrics["loss"]))
         assert np.all(np.isfinite(losses))
         assert np.mean(losses[-3:]) < losses[0], losses
