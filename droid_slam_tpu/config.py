@@ -61,6 +61,9 @@ class SLAMConfig:
     # fully-fused device-resident frontend (runtime/fused.py): one jitted
     # program + one readback per keyframe instead of the host-driven loop
     fused: bool = True
+    # route the backend's global BA through the edge-sharded distributed
+    # solver (parallel/dba.py) when >1 device is visible
+    distributed_backend: bool = False
 
     # --- precision ----------------------------------------------------------
     compute_dtype: str = "bfloat16"            # network compute

@@ -6,6 +6,13 @@ keyframes with the on-the-fly correlation implementation, and run
 `update_lowmem` sweeps of the update operator + dense global BA.
 
 Capacities are bucketed by keyframe count so jit compiles once per bucket.
+
+With `SLAMConfig.distributed_backend` (or `distributed=True`) and more
+than one device, the global BA inside update_lowmem runs the edge-sharded
+distributed solver (parallel/dba.py): edges partitioned by source frame
+across the device mesh, depth (Schur) elimination fully local, only the
+dense pose system psum-reduced over ICI — the north-star scaling path
+the single-GPU reference cannot express (droid_backend.py:24-40).
 """
 
 import numpy as np
@@ -24,11 +31,16 @@ class Backend:
     # pluggable for testing (oracle-update graphs)
     graph_cls = FactorGraph
 
-    def __init__(self, net, params, video, cfg):
+    def __init__(self, net, params, video, cfg, distributed=None):
         self.net = net
         self.params = params
         self.video = video
         self.cfg = cfg
+        self.distributed = (
+            distributed if distributed is not None
+            else getattr(cfg, "distributed_backend", False)
+        )
+        self._dist_fns = {}
 
     def __call__(self, steps=12):
         cfg = self.cfg
@@ -54,9 +66,67 @@ class Backend:
             degree_cap=64,
         )
 
+        import jax
+        if self.distributed and len(jax.devices()) > 1:
+            graph.ba_fn = self._distributed_hook(pose_cap)
+
         graph.add_proximity_factors(
             rad=cfg.backend_radius, nms=cfg.backend_nms,
             thresh=cfg.backend_thresh, beta=cfg.beta,
         )
         graph.update_lowmem(steps=steps)
         graph.clear_edges()
+
+    # ------------------------------------------------------------------
+
+    def _distributed_hook(self, pose_cap):
+        """Route update_lowmem's BA through the edge-sharded distributed
+        solver over all local devices."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from ..parallel import dba as pdba
+
+        cfg = self.cfg
+        video = self.video
+        devices = np.array(jax.devices())
+        n_shards = len(devices)
+        mesh = Mesh(devices, ("ba",))
+
+        def hook(target, weight, eta, ii, jj, mask, t0, t1):
+            em = np.asarray(mask, bool)
+            n_e = int(em.sum())
+            if n_e == 0:
+                return
+            ii_n = np.asarray(ii)
+            jj_n = np.asarray(jj)
+            deg = np.bincount(ii_n[em], minlength=1).max() if n_e else 1
+            n_frames = len(np.unique(
+                np.concatenate([np.arange(t0, t1), ii_n[em]])
+            ))
+            # per-shard caps, bucketed so jit compiles once per bucket
+            E_shard = _bucket(int(np.ceil(2.0 * n_e / n_shards)), lo=16)
+            K_shard = _bucket(int(np.ceil(2.0 * n_frames / n_shards)),
+                              lo=8)
+            D = _bucket(int(deg), lo=8)
+
+            shards = pdba.shard_edges_by_frame(
+                ii_n, jj_n, np.asarray(target), np.asarray(weight), em,
+                n_shards, E_shard, K_shard, D, t0, t1,
+            )
+            key = (E_shard, K_shard, D)
+            if key not in self._dist_fns:
+                self._dist_fns[key] = pdba.make_distributed_ba(
+                    mesh, iters=cfg.ba_iters,
+                    lm=cfg.backend_lm, ep=cfg.backend_ep, P_cap=pose_cap,
+                )
+            st = video.state
+            poses, disps = self._dist_fns[key](
+                st.poses, st.disps, st.disps_sens, st.intrinsics, eta,
+                *[jnp.asarray(s) for s in shards],
+                jnp.asarray(t0, jnp.int32), jnp.asarray(t1, jnp.int32),
+            )
+            video.state = st.replace(poses=poses, disps=disps)
+
+        return hook

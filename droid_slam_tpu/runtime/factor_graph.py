@@ -46,6 +46,10 @@ class FactorGraph:
         self.upsample = upsample
 
         self.ht, self.wd = video.fht, video.fwd
+        # optional BA override: fn(target, weight, eta, ii, jj, mask,
+        # t0, t1) — the Backend routes global BA through the distributed
+        # edge-sharded solver (parallel/dba.py) with this hook
+        self.ba_fn = None
 
         self.E = edge_cap or max(self.cfg.frontend_edge_cap, max_factors + 16)
         self.I = inac_cap if inac_cap is not None else self.E
@@ -445,13 +449,18 @@ class FactorGraph:
             eta = 0.2 * self.video.state.damping + DAMPING_EPS
             ii, jj, mask = self._edge_arrays()
             with _T.phase("graph.ba"):
-                self.video.ba(
-                    self.target, self.weight, eta, ii, jj, mask, 1, t,
-                    itrs=self.cfg.ba_iters,
-                    lm=self.cfg.backend_lm, ep=self.cfg.backend_ep,
-                    motion_only=False,
-                    pose_cap=self.P, depth_cap=self.K, degree_cap=self.D,
-                )
+                if self.ba_fn is not None:
+                    self.ba_fn(self.target, self.weight, eta,
+                               ii, jj, mask, 1, t)
+                else:
+                    self.video.ba(
+                        self.target, self.weight, eta, ii, jj, mask, 1, t,
+                        itrs=self.cfg.ba_iters,
+                        lm=self.cfg.backend_lm, ep=self.cfg.backend_ep,
+                        motion_only=False,
+                        pose_cap=self.P, depth_cap=self.K,
+                        degree_cap=self.D,
+                    )
 
     def _ba(self, t0, t1, itrs, use_inactive, motion_only):
         """Assemble (active ∪ filtered-inactive) edges and run dense BA."""

@@ -122,3 +122,65 @@ class TestDistributedBA:
             p[:T], se3.inv(jnp.asarray(pb["poses_gt"][:T]))
         )))
         assert np.abs(err).max() < 5e-3
+
+
+class TestBackendDistributed:
+    def test_backend_distributed_matches_single(self):
+        """Backend(distributed=True) routes update_lowmem's BA through the
+        edge-sharded solver over the mesh and must match the single-device
+        backend (VERDICT r1 #3: terminate-path integration)."""
+        from droid_slam_tpu.config import SLAMConfig
+        from droid_slam_tpu.data.synthetic import render_plane_scene
+        from droid_slam_tpu.runtime.backend import Backend
+        from droid_slam_tpu.runtime.factor_graph import FactorGraph
+        from droid_slam_tpu.runtime.state import DepthVideo
+
+        H, W = 96, 128
+        N = 10
+        scene = render_plane_scene(N, H, W, seed=5, motion_scale=0.05)
+
+        gt_poses = se3.inv(jnp.asarray(scene["poses_c2w"]))
+        gt_disps = jnp.asarray(1.0 / scene["depths"][:, 3::8, 3::8])
+        intr8 = jnp.asarray(scene["intrinsics"] / 8.0)
+
+        class OracleGraph(FactorGraph):
+            def _run_update_op(self):
+                ii, jj, mask = self._edge_arrays()
+                ii_c = np.clip(ii, 0, N - 1)
+                jj_c = np.clip(jj, 0, N - 1)
+                coords_gt, valid = projective.projective_transform(
+                    gt_poses[None], gt_disps[None], intr8[None],
+                    jnp.asarray(ii_c), jnp.asarray(jj_c),
+                )
+                m = jnp.asarray(mask)[:, None, None, None]
+                self.target = jnp.where(m, coords_gt[0], self.target)
+                self.weight = jnp.where(
+                    m, valid[0] * jnp.ones_like(self.target), self.weight
+                )
+                st = self.video.state
+                self.video.state = st.replace(
+                    damping=1e-4 * jnp.ones_like(st.damping)
+                )
+
+        def run(distributed):
+            cfg = SLAMConfig(image_size=(H, W), buffer=16, warmup=6)
+            video = DepthVideo(cfg)
+            h8, w8 = H // 8, W // 8
+            zf = jnp.zeros((1, h8, w8, 128), jnp.bfloat16)
+            zc = jnp.zeros((h8, w8, 128))
+            for t in range(N):
+                video.append(
+                    float(t), jnp.asarray(scene["images"][t]), None, None,
+                    None, jnp.asarray(scene["intrinsics"][0] / 8.0),
+                    zf, zc, zc,
+                )
+            backend = Backend(None, None, video, cfg,
+                              distributed=distributed)
+            backend.graph_cls = OracleGraph
+            backend(steps=2)
+            return np.asarray(video.state.poses[:N])
+
+        p_single = run(False)
+        p_dist = run(True)
+        assert np.all(np.isfinite(p_dist))
+        np.testing.assert_allclose(p_dist, p_single, atol=2e-3)
