@@ -28,7 +28,7 @@ def synthetic_stream(n, H=64, W=96, seed=0):
         yield t, np.stack([img] * 3, -1), intr
 
 
-def image_stream(imagedir, calib, stride=1, t0=0):
+def image_stream(imagedir, calib, stride=1, t0=0, target_area=384 * 512):
     """Stream (t, image, intrinsics) from a directory of images.
 
     Calibration file format: `fx fy cx cy [k1 k2 p1 p2 [k3 ...]]`
@@ -56,8 +56,8 @@ def image_stream(imagedir, calib, stride=1, t0=0):
             image = cv2.undistort(image, K, calib[4:])
 
         h0, w0 = image.shape[:2]
-        h1 = int(h0 * np.sqrt((384 * 512) / (h0 * w0)))
-        w1 = int(w0 * np.sqrt((384 * 512) / (h0 * w0)))
+        h1 = int(h0 * np.sqrt(target_area / (h0 * w0)))
+        w1 = int(w0 * np.sqrt(target_area / (h0 * w0)))
         image = cv2.resize(image, (w1, h1))
         image = image[: h1 - h1 % 8, : w1 - w1 % 8]
         image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
@@ -85,6 +85,8 @@ def main():
     p.add_argument("--filter_thresh", type=float, default=None)
     p.add_argument("--warmup", type=int, default=None)
     p.add_argument("--backend_steps", type=int, nargs=2, default=(7, 12))
+    p.add_argument("--target_area", type=int, default=384 * 512,
+                   help="resize input so H*W is about this (demo.py:44)")
     p.add_argument("--output", default="trajectory.txt",
                    help="output trajectory file (t x y z qx qy qz qw)")
     p.add_argument("--export_ply", default=None,
@@ -98,7 +100,8 @@ def main():
         frames = list(synthetic_stream(args.synthetic))
     else:
         frames = list(image_stream(args.imagedir, args.calib,
-                                   args.stride, args.t0))
+                                   args.stride, args.t0,
+                                   args.target_area))
     if not frames:
         print("no input frames found", file=sys.stderr)
         sys.exit(1)

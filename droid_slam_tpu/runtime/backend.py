@@ -64,6 +64,7 @@ class Backend:
             inac_cap=8,
             pose_cap=pose_cap, depth_cap=pose_cap,
             degree_cap=64,
+            upsample=cfg.upsample,
         )
 
         import jax

@@ -180,6 +180,7 @@ class FactorGraph:
         ht, wd = self.ht, self.wd
         buf = self.cfg.buffer
         rig = 2 if self.cfg.stereo else 1
+        want_upmask = self.upsample
 
         @jax.jit
         def fn(params, poses, disps, intrinsics, fmap_pyr, inps_frames,
@@ -221,7 +222,10 @@ class FactorGraph:
             cnt = jax.ops.segment_sum(
                 jnp.ones_like(seg, jnp.float32), seg, num_segments=buf + 1
             )[:-1]
-            return net_new, target_new, weight_new, eta_seg, cnt > 0
+            if not want_upmask:
+                # don't materialize the (buf, h, w, 576) mask when unused
+                upmask = jnp.zeros((), jnp.float32)
+            return net_new, target_new, weight_new, eta_seg, cnt > 0, upmask
 
         return fn
 
@@ -257,7 +261,7 @@ class FactorGraph:
                  jnp.zeros((pad,) + self.target.shape[1:])]
             )
 
-            net_new, tgt_new, wgt_new, eta_seg, has_edge = fn(
+            net_new, tgt_new, wgt_new, eta_seg, has_edge, upmask = fn(
                 self.params, state.poses, state.disps, state.intrinsics,
                 fmap_pyr, state.inps, net_c, tgt_c,
                 jnp.asarray(padc(ii)), jnp.asarray(padc(jj)),
@@ -276,8 +280,19 @@ class FactorGraph:
             damping = jnp.where(
                 has_edge[:, None, None], eta_seg, state.damping
             )
-            self.video.state = state.replace(damping=damping)
-            state = self.video.state
+            state = state.replace(damping=damping)
+            if self.upsample:
+                # convex-upsample the disparities of this chunk's updated
+                # source frames into disps_up (reference
+                # factor_graph.py:235-236, depth_video.py:123-127)
+                from ..models.update import upsample_disp
+
+                up = upsample_disp(state.disps, upmask)
+                disps_up = jnp.where(
+                    has_edge[:, None, None], up, state.disps_up
+                )
+                state = state.replace(disps_up=disps_up)
+            self.video.state = state
 
     # ------------------------------------------------------------------
     # graph edits

@@ -27,6 +27,7 @@ class Frontend:
             video, net, params, corr_impl="volume",
             max_factors=cfg.frontend_max_factors,
             update_chunk=cfg.frontend_edge_cap,
+            upsample=cfg.upsample,
         )
 
         self.t0 = 0

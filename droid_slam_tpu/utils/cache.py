@@ -12,6 +12,13 @@ import os
 def enable_compilation_cache(path=None):
     import jax
 
+    # make the JAX_PLATFORMS env var authoritative: some environments
+    # install a sitecustomize hook that re-pins jax_platforms to a remote
+    # accelerator plugin AFTER the env var is read — CI/CPU runs must be
+    # able to opt out without claiming the device
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     path = path or os.environ.get(
         "DROID_TPU_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(

@@ -24,6 +24,13 @@ def main():
     p.add_argument("--weights", default=None)
     p.add_argument("--stride", type=int, default=2)
     p.add_argument("--backend_steps", type=int, nargs=2, default=(7, 12))
+    # dry-run overrides (default = the reference evaluation protocol,
+    # test_tum.py:56-73); smaller values let the pipeline be exercised
+    # end-to-end on CPU CI
+    p.add_argument("--image_size", type=int, nargs=2, default=None)
+    p.add_argument("--buffer", type=int, default=None)
+    p.add_argument("--warmup", type=int, default=None)
+    p.add_argument("--filter_thresh", type=float, default=None)
     args = p.parse_args()
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
@@ -35,9 +42,29 @@ def main():
     from droid_slam_tpu.runtime.slam import Droid
 
     cfg = PRESETS["tum"]
+    import dataclasses
+    overrides = {}
+    for k in ("buffer", "warmup", "filter_thresh"):
+        if getattr(args, k) is not None:
+            overrides[k] = getattr(args, k)
+    if args.image_size is not None:
+        overrides["image_size"] = tuple(args.image_size)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+
     droid = Droid(cfg, weights_path=args.weights)
 
     frames = list(tum_stream(args.datapath, stride=args.stride))
+    if args.image_size is not None:
+        import cv2
+        Ht, Wt = args.image_size
+        frames = [
+            (t, cv2.resize(im, (Wt, Ht)),
+             intr * np.array([Wt / im.shape[1], Ht / im.shape[0],
+                              Wt / im.shape[1], Ht / im.shape[0]],
+                             np.float32))
+            for (t, im, intr) in frames
+        ]
     for (t, image, intr) in frames:
         droid.track(t, image, intrinsics=intr)
 

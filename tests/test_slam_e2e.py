@@ -104,3 +104,41 @@ def test_full_pipeline():
     # quaternions stay normalized
     qn = np.linalg.norm(traj[:, 3:], axis=-1)
     np.testing.assert_allclose(qn, 1.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_upsample_writes_disps_up():
+    """cfg.upsample plumbs the GraphAgg upmask into convex 8x disparity
+    upsampling: disps_up is written for updated frames and is convex-
+    consistent with the 1/8-res disparities (reference
+    factor_graph.py:235-236, depth_video.py:123-127)."""
+    cfg = SLAMConfig(
+        image_size=(H, W), buffer=16, warmup=5, filter_thresh=0.0,
+        upsample=True, frontend_window=8, frontend_edge_cap=64,
+        frontend_pose_cap=32, frontend_depth_cap=32, schur_degree_cap=32,
+    )
+    droid = Droid(cfg, seed=0)
+    rng = np.random.default_rng(3)
+    intr = np.asarray([80.0, 80.0, W / 2, H / 2], np.float32)
+    for t in range(7):
+        droid.track(t, synth_frame(t, rng), intrinsics=intr)
+    droid._sync()
+
+    n = droid.video.counter
+    st = droid.video.state
+    dup = np.asarray(st.disps_up[:n])
+    d8 = np.asarray(st.disps[:n])
+    assert np.any(dup != 0), "disps_up never written"
+    # convexity: each upsampled value is a convex combination of a 3x3
+    # coarse neighborhood -> bounded by the coarse min/max per frame
+    for k in range(n):
+        if not np.any(dup[k]):
+            continue
+        assert dup[k].min() >= d8[k].min() - 1e-4
+        assert dup[k].max() <= d8[k].max() + 1e-4
+    # 8x8 block means track the coarse grid
+    hh, ww = d8.shape[1], d8.shape[2]
+    pooled = dup.reshape(n, hh, 8, ww, 8).mean((2, 4))
+    valid = np.any(dup.reshape(n, -1) != 0, axis=1)
+    cc = np.corrcoef(pooled[valid].ravel(), d8[valid].ravel())[0, 1]
+    assert cc > 0.9, cc
