@@ -64,6 +64,10 @@ class SLAMConfig:
     # route the backend's global BA through the edge-sharded distributed
     # solver (parallel/dba.py) when >1 device is visible
     distributed_backend: bool = False
+    # low-memory on-the-fly correlation: query pixels per volume block
+    # (0 = auto: chunk only when the per-update transient would exceed
+    # ~0.6 GB — the large-resolution global-BA regime)
+    corr_pixel_chunk: int = 0
 
     # --- precision ----------------------------------------------------------
     compute_dtype: str = "bfloat16"            # network compute

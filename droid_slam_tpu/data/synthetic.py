@@ -91,6 +91,100 @@ def render_plane_scene(n_frames=12, H=96, W=128, plane_z=2.0, seed=0,
     )
 
 
+def render_box_scene(n_frames=12, H=96, W=128, seed=0, motion_scale=0.08,
+                     box=(2.5, 1.8, 6.0)):
+    """Render a camera moving inside a textured box — varied depth,
+    parallax, occlusion boundaries at wall joints, and larger motions
+    than the fronto-parallel plane scene (curriculum for learned-weight
+    training; VERDICT r1 #2 'varied geometry').
+
+    The box spans x ∈ [−bx, bx], y ∈ [−by, by], z ∈ [−1, bz]; the camera
+    random-walks near the center looking toward +z.  Depth maps and poses
+    are analytically exact (nearest ray/plane intersection).
+
+    Returns the same dict layout as render_plane_scene.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    bx, by, bz = box
+    fx = fy = 0.9 * W
+    cx, cy = W / 2, H / 2
+    intr = np.array([fx, fy, cx, cy], np.float32)
+
+    # one texture per wall (5 walls: +x, −x, +y, −y, +z)
+    texs = [_texture(rng, 256) for _ in range(5)]
+    tex_size = 256
+    w2t = tex_size / 3.0
+
+    # bounded random walk: translation up to ±motion_scale per frame,
+    # rotation up to ±0.4·motion_scale rad, position clipped inside the
+    # box, accumulated rotation clipped to keep +z in view
+    steps = motion_scale * rng.standard_normal((n_frames, 6))
+    steps[:, 3:] *= 0.4
+    steps[0] = 0
+    xi = np.cumsum(steps, axis=0)
+    xi[:, 0] = np.clip(xi[:, 0], -0.5 * bx, 0.5 * bx)
+    xi[:, 1] = np.clip(xi[:, 1], -0.5 * by, 0.5 * by)
+    xi[:, 2] = np.clip(xi[:, 2], -0.5, 0.4 * bz)
+    xi[:, 3:] = np.clip(xi[:, 3:], -0.35, 0.35)
+    poses_c2w = np.asarray(se3.exp(xi.astype(np.float32)))
+
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    dirs = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
+    )
+
+    # walls as (axis, offset, texture index)
+    walls = [(0, bx, 0), (0, -bx, 1), (1, by, 2), (1, -by, 3), (2, bz, 4)]
+
+    import jax.numpy as jnp
+    from ..lie import so3
+
+    images, depths = [], []
+    for n in range(n_frames):
+        g = poses_c2w[n]
+        Rd = np.asarray(so3.act(jnp.asarray(g[3:7]), jnp.asarray(
+            dirs.reshape(-1, 3)))).reshape(H, W, 3)
+        o = g[:3]
+
+        best_t = np.full((H, W), 1e6, np.float32)
+        img = np.zeros((H, W, 3), np.float32)
+        for axis, off, ti in walls:
+            denom = Rd[..., axis]
+            t = (off - o[axis]) / np.where(np.abs(denom) < 1e-6, 1e-6,
+                                           denom)
+            pw = o + t[..., None] * Rd
+            oth = [a for a in range(3) if a != axis]
+            lim = {0: bx, 1: by, 2: bz}
+            ok = (
+                (t > 0.1)
+                & (np.abs(pw[..., oth[0]]) <= lim[oth[0]] + 1e-3)
+                & (pw[..., oth[1]] <= lim[oth[1]] + 1e-3)
+                & (pw[..., oth[1]] >= (-lim[oth[1]] if oth[1] != 2
+                                       else -1.0) - 1e-3)
+                & (t < best_t)
+            )
+            u = pw[..., oth[0]] * w2t + tex_size / 2
+            v = pw[..., oth[1]] * w2t + tex_size / 2
+            wall_img = cv2.remap(
+                texs[ti], u.astype(np.float32), v.astype(np.float32),
+                interpolation=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_WRAP,
+            )
+            img = np.where(ok[..., None], wall_img, img)
+            best_t = np.where(ok, t, best_t)
+
+        # dirs has camera-z component 1 → camera z-depth = ray parameter
+        images.append(np.clip(img, 0, 255).astype(np.uint8))
+        depths.append(np.minimum(best_t, 100.0).astype(np.float32))
+
+    return dict(
+        images=np.stack(images), poses_c2w=poses_c2w.astype(np.float32),
+        depths=np.stack(depths), intrinsics=np.tile(intr, (n_frames, 1)),
+    )
+
+
 # inverse of the reader's NED permutation [1,2,0,4,5,3,6] (tartan.py)
 _NED_INV = [2, 0, 1, 5, 3, 4, 6]
 

@@ -278,49 +278,90 @@ def fmap_pyramid(fmaps, num_levels=NUM_LEVELS):
     return pyramid
 
 
-def alt_lookup_level(fmap1, fmap2_level, coords, radius=RADIUS):
+def alt_lookup_level(fmap1, fmap2_level, coords, radius=RADIUS,
+                     pixel_chunk=0):
     """On-the-fly correlation taps for one level.
 
     Args:
       fmap1: (E, H, W, C) level-0 source features (already /4).
       fmap2_level: (E, h2, w2, C) pooled target features (already /4).
       coords: (E, H, W, 2) float [x, y] in level units.
+      pixel_chunk: if > 0, process the query pixels in blocks of this
+        size so the transient volume is O(E · pixel_chunk · h2·w2)
+        instead of O(E · H·W · h2·w2) — the true low-memory mode for
+        large-resolution global BA (the role of the reference's altcorr
+        kernel never materializing the volume,
+        src/altcorr_kernel.cu:28-149).
     Returns:
       (E, H, W, (2r+1)²) fp32 taps: dot(fmap1[p], bilinear(fmap2_level, tap)).
 
-    TPU formulation: materialize this chunk's correlation volume with one
-    MXU matmul (fmap1 · fmap2ᵀ — the FLOPs are nearly free at ~190 TFLOP/s)
-    and run the gather-free one-hot lookup on it.  This is mathematically
-    identical to sampling features first (dot product is linear), avoids
-    all gathers, and keeps memory bounded to the caller's edge-chunk size —
-    the role the reference's altcorr CUDA kernel plays
-    (src/altcorr_kernel.cu:28-149).
+    TPU formulation: materialize the (pixel-blocked) correlation volume
+    with one MXU matmul (fmap1 · fmap2ᵀ — the FLOPs are nearly free at
+    ~190 TFLOP/s) and run the gather-free one-hot lookup on it.  This is
+    mathematically identical to sampling features first (the dot product
+    is linear) and avoids all gathers.
     """
     E, H, W, C = fmap1.shape
     h2, w2 = fmap2_level.shape[1:3]
-    # bf16 volume: halves the transient footprint and doubles the lookup
-    # matmul rate; matches the reference's fp16 feature buffers
-    # (depth_video.py:36-38)
-    vol = jnp.einsum(
-        "epc,eqc->epq",
-        fmap1.reshape(E, H * W, C),
-        fmap2_level.reshape(E, h2 * w2, C),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16).reshape(1, E, H, W, h2, w2)
-    return lookup_level_onehot(vol, coords[None], radius)[0]
+    HW = H * W
+    T = (2 * radius + 1) ** 2
+    f1 = fmap1.reshape(E, HW, C)
+    f2 = fmap2_level.reshape(E, h2 * w2, C)
+    cflat = coords.reshape(E, HW, 2)
+
+    def block_taps(f1_b, coords_b):
+        # bf16 volume: halves the transient footprint and doubles the
+        # lookup matmul rate; matches the reference's fp16 feature
+        # buffers (depth_video.py:36-38)
+        vol = jnp.einsum(
+            "epc,eqc->epq", f1_b, f2,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        PB = f1_b.shape[1]
+        vol = vol.reshape(1, E, PB, 1, h2, w2)
+        return lookup_level_onehot(
+            vol, coords_b.reshape(1, E, PB, 1, 2), radius
+        ).reshape(E, PB, T)
+
+    if pixel_chunk <= 0 or pixel_chunk >= HW:
+        return block_taps(f1, cflat).reshape(E, H, W, T)
+
+    PB = pixel_chunk
+    nblk = (HW + PB - 1) // PB
+    pad = nblk * PB - HW
+    f1_p = jnp.pad(f1, ((0, 0), (0, pad), (0, 0)))
+    c_p = jnp.pad(cflat, ((0, 0), (0, pad), (0, 0)))
+    f1_blocks = jnp.moveaxis(
+        f1_p.reshape(E, nblk, PB, C), 1, 0
+    )
+    c_blocks = jnp.moveaxis(c_p.reshape(E, nblk, PB, 2), 1, 0)
+
+    def body(_, blk):
+        f1_b, c_b = blk
+        return None, block_taps(f1_b, c_b)
+
+    _, taps = jax.lax.scan(body, None, (f1_blocks, c_blocks))
+    taps = jnp.moveaxis(taps, 0, 1).reshape(E, nblk * PB, T)[:, :HW]
+    return taps.reshape(E, H, W, T)
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def alt_lookup_pyramid(pyr1_l0, fmap2_pyramid, coords, radius=RADIUS):
+@partial(jax.jit, static_argnames=("radius", "pixel_chunk"))
+def alt_lookup_pyramid(pyr1_l0, fmap2_pyramid, coords, radius=RADIUS,
+                       pixel_chunk=0):
     """Alt-corr over all levels; channel layout matches lookup_pyramid.
 
     Args:
       pyr1_l0: (E, H, W, C) level-0 source features (already /4).
       fmap2_pyramid: list of (E, h2, w2, C) pooled target features.
       coords: (E, H, W, 2) at level-0 resolution.
+      pixel_chunk: low-memory pixel blocking (applied where it reduces
+        the transient; deeper levels are already small).
     """
-    outs = [
-        alt_lookup_level(pyr1_l0, f2, coords / (2.0 ** l), radius)
-        for l, f2 in enumerate(fmap2_pyramid)
-    ]
+    outs = []
+    for l, f2 in enumerate(fmap2_pyramid):
+        h2w2 = f2.shape[1] * f2.shape[2]
+        pc = pixel_chunk if (pixel_chunk > 0 and h2w2 > 1024) else 0
+        outs.append(
+            alt_lookup_level(pyr1_l0, f2, coords / (2.0 ** l), radius, pc)
+        )
     return jnp.concatenate(outs, axis=-1)

@@ -70,7 +70,11 @@ def build_schur_tables(ii, edge_mask, t0, t1, K, D):
         np.concatenate([np.arange(t0, t1), ii[edge_mask]])
     )
     if len(frames) > K:
-        raise ValueError(f"depth-frame count {len(frames)} exceeds cap {K}")
+        raise ValueError(
+            f"depth-frame count {len(frames)} exceeds cap {K}: raise "
+            f"SLAMConfig.frontend_depth_cap (or the Backend's automatic "
+            f"bucket) for this window/graph size"
+        )
 
     kx = np.zeros(K, np.int32)
     kmask = np.zeros(K, bool)
@@ -81,7 +85,11 @@ def build_schur_tables(ii, edge_mask, t0, t1, K, D):
     for s, f in enumerate(frames):
         e = np.nonzero((ii == f) & edge_mask)[0]
         if len(e) > D:
-            raise ValueError(f"frame {f} has {len(e)} edges > degree cap {D}")
+            raise ValueError(
+                f"frame {f} has {len(e)} edges > degree cap {D}: raise "
+                f"SLAMConfig.schur_degree_cap (graphs denser than this "
+                f"per-frame edge count need a bigger Schur gather table)"
+            )
         table[s, : len(e)] = e
     return kx, kmask, table
 

@@ -33,6 +33,19 @@ from ..utils.timers import GLOBAL_TIMERS as _T
 DAMPING_EPS = 1e-7    # EP in factor_graph.update (factor_graph.py:196)
 
 
+def corr_pixel_chunk(cfg, edge_chunk, hw):
+    """Low-memory pixel blocking for the on-the-fly correlation: explicit
+    cfg.corr_pixel_chunk, or auto when the level-0 volume transient
+    (edge_chunk · hw² bf16) would exceed ~0.6 GB (the 1000-keyframe
+    384×512 global-BA regime the reference's altcorr kernel serves,
+    src/altcorr_kernel.cu:28-149)."""
+    if cfg.corr_pixel_chunk > 0:
+        return cfg.corr_pixel_chunk
+    if edge_chunk * hw * hw * 2 > 600_000_000:
+        return 512
+    return 0
+
+
 class FactorGraph:
     def __init__(self, video, net, params, corr_impl="alt",
                  max_factors=48, edge_cap=None, inac_cap=None,
@@ -181,6 +194,7 @@ class FactorGraph:
         buf = self.cfg.buffer
         rig = 2 if self.cfg.stereo else 1
         want_upmask = self.upsample
+        pixel_chunk = corr_pixel_chunk(self.cfg, self.chunk, ht * wd)
 
         @jax.jit
         def fn(params, poses, disps, intrinsics, fmap_pyr, inps_frames,
@@ -204,7 +218,9 @@ class FactorGraph:
                 take_rows(p, cam2).astype(jnp.float32) / 4.0
                 for p in fmap_pyr
             ]
-            corr = corr_ops.alt_lookup_pyramid(f1, f2_levels, coords1)
+            corr = corr_ops.alt_lookup_pyramid(
+                f1, f2_levels, coords1, pixel_chunk=pixel_chunk
+            )
 
             inp = take_rows(inps_frames, ii_c)
             seg = jnp.where(mask_c, ii_c, buf)

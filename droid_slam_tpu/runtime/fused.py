@@ -471,7 +471,11 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
                 take_rows(p, cam2).astype(jnp.float32) / 4.0
                 for p in fmap_pyr
             ]
-            corr = corr_ops.alt_lookup_pyramid(f1, f2, coords1)
+            from .factor_graph import corr_pixel_chunk
+            corr = corr_ops.alt_lookup_pyramid(
+                f1, f2, coords1,
+                pixel_chunk=corr_pixel_chunk(cfg, EA, ht * wd),
+            )
 
             inp = take_rows(vstate.inps, ii_a)
             seg = jnp.where(active, ii_a, buf)
@@ -904,7 +908,9 @@ class FusedFrontend:
         self.video.counter = int(flags[2])
         self.t1 = self.video.counter
         self._since_sync = 0
-        if self.video.counter > self.cfg.buffer - 4:
+        # margin must cover the lazy-sync lag: up to 16 frames (one per
+        # frame worst case) can append between host syncs
+        if self.video.counter > self.cfg.buffer - 18:
             raise RuntimeError(
                 f"keyframe buffer nearly full "
                 f"({self.video.counter}/{self.cfg.buffer}); increase "

@@ -160,6 +160,13 @@ class DepthVideo:
         depth: optional full-res metric depth; subsampled at pixel centers
         [3::8, 3::8] and inverted (depth_video.py:64-65).
         """
+        if self.counter >= self.cfg.buffer:
+            raise RuntimeError(
+                f"keyframe buffer full ({self.cfg.buffer} slots): the "
+                f"sequence produced more keyframes than SLAMConfig.buffer "
+                f"allows — raise `buffer` (reference --buffer flag) or "
+                f"increase keyframe_thresh to keyframe less often"
+            )
         if depth is not None:
             d = np.asarray(depth)[3::8, 3::8]
             disp_sens = np.where(d > 0, 1.0 / np.maximum(d, 1e-8), 0.0)

@@ -89,7 +89,7 @@ def make_train_step(net, tx, *, iters=15, fix_scale=True,
     matching the reference's loss.backward() accumulation
     (train.py:102-127).
 
-    batch: dict(images (B,N,H,W,3), poses (B,N,7) w2c GT,
+    batch: dict(images (B,N,H,W,3), poses (B,N,7) c2w GT,
                 disps (B,N,h,w) GT inverse depth at 1/8,
                 disps_full (B,N,H,W) GT at full res,
                 intrinsics (B,N,4) full-res,
@@ -97,7 +97,9 @@ def make_train_step(net, tx, *, iters=15, fix_scale=True,
     """
 
     def loss_fn(params, batch, Gs0, disp0):
-        Ps = se3.inv(batch["poses"])        # w2c -> c2w (train.py:84)
+        # dataset poses are c2w (TartanAir GT); the pipeline optimizes
+        # w2c (reference train.py:84 — its comment has the names flipped)
+        Ps = se3.inv(batch["poses"])
         B, N = Ps.shape[:2]
 
         # pose init: frame 0 at GT, all others at frame 1's pose — or the

@@ -52,7 +52,7 @@ def restore_checkpoint(path, state):
 
 
 def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
-          log_every=10, seed=0, edge_cap=None):
+          log_every=10, seed=0, edge_cap=None, resume=None):
     """Run training over `dataset` (any object with sample_batches()).
 
     Edge lists are padded to a static capacity and passed as traced
@@ -69,6 +69,10 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
     # the flow loss
     net = DroidNet(dtype=None)
     state, tx = create_train_state(net, cfg, seed)
+    if resume:
+        state = restore_checkpoint(resume, state)
+        print(f"resumed from {resume} at step {int(state.step)}",
+              flush=True)
     logger = Logger(cfg.name)
 
     rng = np.random.default_rng(seed)

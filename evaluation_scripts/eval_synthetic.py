@@ -27,7 +27,10 @@ def main():
     p.add_argument("--n_frames", type=int, default=16)
     p.add_argument("--size", type=int, nargs=2, default=(64, 96))
     p.add_argument("--seeds", type=int, nargs="+", default=[11, 12])
-    p.add_argument("--motion", type=float, default=0.04)
+    p.add_argument("--motion", type=float, default=0.08)
+    p.add_argument("--scene", default="box", choices=["box", "plane"],
+                   help="held-out scene family (seeds disjoint from the "
+                        "training curriculum)")
     p.add_argument("--backend_steps", type=int, nargs=2, default=(3, 3))
     args = p.parse_args()
 
@@ -37,7 +40,9 @@ def main():
     import jax.numpy as jnp
 
     from droid_slam_tpu.config import SLAMConfig
-    from droid_slam_tpu.data.synthetic import render_plane_scene
+    from droid_slam_tpu.data.synthetic import (
+        render_box_scene, render_plane_scene,
+    )
     from droid_slam_tpu.geom.align import ate_rmse
     from droid_slam_tpu.runtime.slam import Droid
 
@@ -59,8 +64,10 @@ def main():
 
     results = []
     for seed in args.seeds:
-        scene = render_plane_scene(args.n_frames, H, W, seed=seed,
-                                   motion_scale=args.motion)
+        render = (render_box_scene if args.scene == "box"
+                  else render_plane_scene)
+        scene = render(args.n_frames, H, W, seed=seed,
+                       motion_scale=args.motion)
         cfg = SLAMConfig(
             image_size=(H, W),
             buffer=args.n_frames + 20,   # keyframes + filler batch
@@ -93,6 +100,7 @@ def main():
 
     print(f"mean ATE over {len(results)} scenes: "
           f"{np.mean(results):.4f} m")
+    return float(np.mean(results))
 
 
 if __name__ == "__main__":

@@ -113,11 +113,7 @@ def test_oracle_frontend_backend_recover_gt(scene):
     assert ate_frontend < 0.02, ate_frontend
 
     # backend global BA tightens it further
-    backend = Backend.__new__(Backend)
-    backend.net = None
-    backend.params = None
-    backend.video = video
-    backend.cfg = cfg
+    backend = Backend(None, None, video, cfg)
     backend.graph_cls = OracleGraph
     backend(steps=4)
 
