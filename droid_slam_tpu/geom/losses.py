@@ -14,6 +14,19 @@ from ..lie import se3, sim3, so3
 from . import projective
 
 
+def _norm(x, axis=-1):
+    """L2 norm with a well-defined zero gradient at ‖x‖ = 0.
+
+    jnp.linalg.norm backpropagates x/‖x‖ = 0/0 = NaN at exactly-zero
+    vectors — and padded edge slots (ii = jj = 0 ⇒ identity relative
+    pose ⇒ zero twist) hit that every step; 0-mask × NaN is still NaN,
+    so the whole gradient would be poisoned.
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    nz = sq > 0
+    return jnp.sqrt(jnp.where(nz, sq, 1.0)) * nz
+
+
 def _fit_scale(Ps, Gs, ii, jj):
     """Per-batch least-squares scale between relative translations
     (losses.py:23-28)."""
@@ -66,8 +79,8 @@ def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True,
             d = sim3.log(sim3.mul(dGs, sim3.inv(dPs)))
             tau, phi, sig = d[..., :3], d[..., 3:6], d[..., 6:]
             loss = loss + w * (
-                emean(jnp.linalg.norm(tau, axis=-1))
-                + emean(jnp.linalg.norm(phi, axis=-1))
+                emean(_norm(tau))
+                + emean(_norm(phi))
                 + 0.05 * emean(jnp.abs(sig)[..., 0])
             )
             dE = sim3.mul(dGs, sim3.inv(dPs))
@@ -75,15 +88,15 @@ def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True,
             d = se3.log(se3.mul(dG, se3.inv(dP)))
             tau, phi = d[..., :3], d[..., 3:6]
             loss = loss + w * (
-                emean(jnp.linalg.norm(tau, axis=-1))
-                + emean(jnp.linalg.norm(phi, axis=-1))
+                emean(_norm(tau))
+                + emean(_norm(phi))
             )
             dE = sim3.from_se3(se3.mul(dG, se3.inv(dP)))
 
     # metrics from the final iteration (losses.py:62-72)
-    ang = jnp.linalg.norm(so3.log(dE[..., 3:7]), axis=-1)
+    ang = _norm(so3.log(dE[..., 3:7]))
     r_err = (180.0 / np.pi) * ang
-    t_err = jnp.linalg.norm(dE[..., :3], axis=-1)
+    t_err = _norm(dE[..., :3])
     metrics = {
         "rot_error": emean(r_err),
         "tr_error": emean(t_err),
@@ -144,10 +157,13 @@ def flow_loss(Ps, disps, poses_list, disps_list, intrinsics, gamma=0.9):
             Gs, d_est, intrinsics, jnp.asarray(ii), jnp.asarray(jj)
         )
         v = (val0 * val1)[..., 0]
-        epe = v * jnp.linalg.norm(coords1 - coords0, axis=-1)
-        # guard: degenerate estimated depths can produce non-finite
-        # reprojections on masked-out pixels
-        epe = jnp.where(jnp.isfinite(epe), epe, 0.0)
+        # guard BEFORE the norm: degenerate estimated depths can produce
+        # non-finite reprojections on masked-out pixels, and a non-finite
+        # input to the norm leaks NaN into the backward pass even when the
+        # output is masked (0 · ∞ = NaN)
+        diff = coords1 - coords0
+        diff = jnp.where(jnp.isfinite(diff), diff, 0.0)
+        epe = v * _norm(diff)
         loss = loss + w * epe.mean()
         epe_last, v_last = epe, v
 

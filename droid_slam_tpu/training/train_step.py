@@ -143,8 +143,21 @@ def make_train_step(net, tx, *, iters=15, fix_scale=True,
         return grads["params"], metrics
 
     def accum_fn(acc, params, batch, Gs0, disp0):
-        """One restart pass: gradients added into the running sum."""
+        """One restart pass: gradients added into the running sum.
+
+        Non-finite gradient elements are zeroed BEFORE accumulation —
+        otherwise one NaN pass would poison the whole restart chain
+        (zero_nans in the optimizer chain only guards the final sum)."""
         g, metrics = grad_fn(params, batch, Gs0, disp0)
+        nan_elems = 0.0
+        tot_elems = 0.0
+        for leaf in jax.tree.leaves(g):
+            nan_elems += (~jnp.isfinite(leaf)).sum()
+            tot_elems += leaf.size
+        metrics["grad_nonfinite_frac"] = nan_elems / tot_elems
+        g = jax.tree.map(
+            lambda x: jnp.where(jnp.isfinite(x), x, 0.0), g
+        )
         acc = jax.tree.map(jnp.add, acc, g)
         return acc, metrics
 

@@ -139,10 +139,12 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
             m = {k: float(v) for k, v in metrics.items()}
             m["step_time"] = time.perf_counter() - t0
             logger.push(m, total_steps)
+            nf = m.get("grad_nonfinite_frac", 0.0)
             print(f"step {total_steps}: loss {m['loss']:.4f} "
                   f"geo {m['geo']:.4f} flow {m['flow']:.4f} "
                   f"pnorm {m['param_norm']:.1f} gnorm {m['grad_norm']:.2f} "
-                  f"({m['step_time']:.2f}s)", flush=True)
+                  + (f"nanfrac {nf:.3f} " if nf > 0 else "")
+                  + f"({m['step_time']:.2f}s)", flush=True)
 
         if total_steps % cfg.ckpt_every == 0:
             os.makedirs(cfg.ckpt_dir, exist_ok=True)

@@ -158,3 +158,68 @@ class TestTrainStep:
         assert int(restored.step) == 7
         import chex
         chex.assert_trees_all_close(restored.params, state.params)
+
+
+class TestLossGradientFiniteness:
+    def test_padded_identity_edges_give_finite_grads(self):
+        """Padded edge slots (ii == jj == 0 => exactly-identity relative
+        pose => zero twist) must NOT leak NaN into the gradient: the L2
+        norm's backward is 0/0 at a zero vector, and mask * NaN is still
+        NaN.  Regression for the safe _norm in geom/losses."""
+        import jax
+        import jax.numpy as jnp
+
+        from droid_slam_tpu.geom import losses
+        from droid_slam_tpu.lie import se3
+
+        B, N, E = 1, 4, 8
+        rng = np.random.default_rng(0)
+        xi = 0.1 * rng.standard_normal((B, N, 6)).astype(np.float32)
+        Ps = se3.exp(jnp.asarray(xi))
+        # valid edges 0..3, padded slots 4..7 (ii = jj = 0)
+        ii = jnp.asarray([0, 1, 2, 0, 0, 0, 0, 0])
+        jj = jnp.asarray([1, 2, 3, 2, 0, 0, 0, 0])
+        emask = jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], bool)
+
+        def f(dxi):
+            Gs = se3.mul(se3.exp(dxi), Ps)
+            # make the estimate EXACTLY the GT on padded/self edges:
+            # relative pose identity, twist exactly zero
+            loss, _ = losses.geodesic_loss(
+                Ps, [Gs], ii, jj, do_scale=False, edge_mask=emask
+            )
+            return loss
+
+        # dxi = 0 => estimates equal GT => every edge twist is exactly 0
+        g = jax.grad(f)(jnp.zeros((B, N, 6)))
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_flow_loss_nonfinite_coords_give_finite_grads(self):
+        """Non-finite reprojections on masked pixels must not poison the
+        flow-loss backward pass."""
+        import jax
+        import jax.numpy as jnp
+
+        from droid_slam_tpu.geom import losses
+        from droid_slam_tpu.lie import se3
+
+        B, N, h, w = 1, 3, 8, 12
+        rng = np.random.default_rng(1)
+        xi = 0.05 * rng.standard_normal((B, N, 6)).astype(np.float32)
+        Ps = se3.exp(jnp.asarray(xi))
+        intr = jnp.tile(jnp.asarray([60.0, 60.0, 48.0, 32.0]), (B, N, 1))
+        disps_gt = jnp.full((B, N, h, w), 0.5)
+
+        def f(d):
+            # negative/zero disparities => degenerate depths inside the
+            # projective transform
+            loss, _ = losses.flow_loss(
+                Ps, disps_gt, [Ps], [d], intr
+            )
+            return loss
+
+        d0 = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (B, N, h, w)).astype(np.float32)
+        )
+        g = jax.grad(f)(d0)
+        assert np.isfinite(np.asarray(g)).all()
