@@ -82,11 +82,26 @@ def main():
     print(GLOBAL_TIMERS.report(), file=sys.stderr, flush=True)
 
     kf_per_s = n_bench / elapsed
+
+    # input-ingestion rate: repeat the last frame (zero motion => the
+    # motion filter rejects it), measuring the per-input-frame cost the
+    # reference sustains at 30 fps (motion_filter.py:45-82)
+    n_rep = 30
+    rep = frames[-1]
+    t0 = time.perf_counter()
+    for k in range(n_rep):
+        droid.track(n_warm + n_bench + k, rep, intrinsics=intr)
+    if hasattr(droid.frontend, "sync"):
+        droid.frontend.sync()
+    jax.block_until_ready(droid.video.state.poses)
+    input_fps = n_rep / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "frontend_keyframes_per_s_240x320",
         "value": round(kf_per_s, 3),
         "unit": "keyframes/s",
         "vs_baseline": round(kf_per_s / BASELINE_KEYFRAMES_PER_S, 3),
+        "input_frames_per_s": round(input_fps, 1),
     }))
 
 

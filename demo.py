@@ -91,6 +91,10 @@ def main():
                    help="output trajectory file (t x y z qx qy qz qw)")
     p.add_argument("--export_ply", default=None,
                    help="write the filtered keyframe point cloud here")
+    p.add_argument("--viewer", type=int, default=None, metavar="PORT",
+                   help="serve a live WebGL map view on this port "
+                        "(reference visualization.py analog; 0 = any "
+                        "free port)")
     args = p.parse_args()
 
     if not args.synthetic and not (args.imagedir and args.calib):
@@ -129,6 +133,11 @@ def main():
     cfg = dataclasses.replace(cfg, **overrides)
 
     droid = Droid(cfg, weights_path=args.weights)
+
+    viewer = None
+    if args.viewer is not None:
+        from droid_slam_tpu.runtime.viewer import start_viewer
+        viewer = start_viewer(droid.video, port=args.viewer)
 
     for (t, image, intr) in frames:
         droid.track(t, image, intrinsics=intr)

@@ -185,3 +185,76 @@ def directory_stream(imagedir, calib, stride=1, target_area=384 * 512):
             np.float32,
         )
         yield t, image, intr
+
+
+def stereo_directory_stream(datapath, calib, stride=1,
+                            target_area=384 * 512):
+    """Generic calibrated stereo stream: `image_left/` + `image_right/`
+    subdirectories with matching sorted filenames (reference
+    StereoStream, stream.py:127-184).
+
+    Yields (t, (H, W, 3) left RGB, (H, W, 3) right RGB, intrinsics).
+    """
+    import cv2
+
+    calib = np.loadtxt(calib, delimiter=" ")
+    fx, fy, cx, cy = calib[:4]
+    K = np.eye(3)
+    K[0, 0], K[0, 2], K[1, 1], K[1, 2] = fx, cx, fy, cy
+
+    def listdir(sub):
+        return sorted(
+            glob.glob(osp.join(datapath, sub, "*.png"))
+            + glob.glob(osp.join(datapath, sub, "*.jpg"))
+        )[::stride]
+
+    lefts, rights = listdir("image_left"), listdir("image_right")
+
+    def load(path, w0h0=[None]):
+        image = cv2.imread(path)
+        if len(calib) > 4:
+            image = cv2.undistort(image, K, calib[4:])
+        h0, w0 = image.shape[:2]
+        s = np.sqrt(target_area / (h0 * w0))
+        h1, w1 = int(h0 * s), int(w0 * s)
+        image = cv2.resize(image, (w1, h1))
+        image = image[: h1 - h1 % 8, : w1 - w1 % 8]
+        w0h0[0] = (h0, w0, h1, w1)
+        return cv2.cvtColor(image, cv2.COLOR_BGR2RGB), w0h0[0]
+
+    for t, (lp, rp) in enumerate(zip(lefts, rights)):
+        left, (h0, w0, h1, w1) = load(lp)
+        right, _ = load(rp)
+        intr = np.array(
+            [fx * w1 / w0, fy * h1 / h0, cx * w1 / w0, cy * h1 / h0],
+            np.float32,
+        )
+        yield t, left, right, intr
+
+
+def rgbd_directory_stream(datapath, calib, stride=1, depth_scale=1000.0):
+    """Generic calibrated RGB-D stream: `rgb/` + `depth/` subdirectories
+    with matching sorted filenames; depth PNGs divided by depth_scale
+    (reference RGBDStream, stream.py:18-72).
+
+    Yields (t, (H, W, 3) RGB, (H, W) metric depth, intrinsics).
+    """
+    import cv2
+
+    calib = np.loadtxt(calib, delimiter=" ")
+    intr = calib[:4].astype(np.float32)
+
+    rgbs = sorted(
+        glob.glob(osp.join(datapath, "rgb", "*.png"))
+        + glob.glob(osp.join(datapath, "rgb", "*.jpg"))
+    )[::stride]
+    depths = sorted(glob.glob(osp.join(datapath, "depth", "*.png")))[::stride]
+
+    for t, (ip, dp) in enumerate(zip(rgbs, depths)):
+        image = cv2.cvtColor(cv2.imread(ip), cv2.COLOR_BGR2RGB)
+        depth = cv2.imread(dp, cv2.IMREAD_ANYDEPTH).astype(
+            np.float32
+        ) / depth_scale
+        h, w = image.shape[:2]
+        h8, w8 = h - h % 8, w - w % 8
+        yield t, image[:h8, :w8], depth[:h8, :w8], intr

@@ -100,3 +100,47 @@ class TestDirectoryStream:
         assert img.shape[0] % 8 == 0 and img.shape[1] % 8 == 0
         # area approximately 384*512
         assert abs(img.shape[0] * img.shape[1] - 384 * 512) < 30000
+
+
+class TestGenericStereoRgbdStreams:
+    def test_stereo_directory_stream(self, tmp_path):
+        rng = np.random.default_rng(3)
+        for sub in ("image_left", "image_right"):
+            (tmp_path / sub).mkdir()
+            for t in range(4):
+                cv2.imwrite(str(tmp_path / sub / f"{t:04d}.png"),
+                            _img(rng, 240, 320))
+        np.savetxt(str(tmp_path / "calib.txt"),
+                   np.asarray([[260.0, 260.0, 160.0, 120.0]]))
+
+        frames = list(streams.stereo_directory_stream(
+            str(tmp_path), str(tmp_path / "calib.txt"),
+            target_area=240 * 320,
+        ))
+        assert len(frames) == 4
+        t, left, right, intr = frames[0]
+        assert left.shape == right.shape
+        assert left.shape[0] % 8 == 0 and left.shape[1] % 8 == 0
+        assert intr.shape == (4,)
+
+    def test_rgbd_directory_stream(self, tmp_path):
+        rng = np.random.default_rng(4)
+        (tmp_path / "rgb").mkdir()
+        (tmp_path / "depth").mkdir()
+        for t in range(3):
+            cv2.imwrite(str(tmp_path / "rgb" / f"{t:04d}.png"),
+                        _img(rng, 128, 160))
+            d16 = (rng.uniform(0.5, 4, (128, 160)) * 1000).astype(
+                np.uint16)
+            cv2.imwrite(str(tmp_path / "depth" / f"{t:04d}.png"), d16)
+        np.savetxt(str(tmp_path / "calib.txt"),
+                   np.asarray([[100.0, 100.0, 80.0, 64.0]]))
+
+        frames = list(streams.rgbd_directory_stream(
+            str(tmp_path), str(tmp_path / "calib.txt")
+        ))
+        assert len(frames) == 3
+        t, img, depth, intr = frames[0]
+        assert img.shape == (128, 160, 3)
+        assert depth.shape == (128, 160)
+        assert 0.4 < depth.mean() < 4.1

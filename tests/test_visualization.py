@@ -67,3 +67,55 @@ class TestExport:
         head = out.read_text().splitlines()
         assert head[0] == "ply"
         assert n > 0
+
+
+class TestLiveViewer:
+    def test_viewer_serves_page_and_map(self):
+        """Live WebGL viewer: page + binary snapshot endpoint round-trip
+        (role of the reference's Open3D visualization process,
+        visualization.py:53-154)."""
+        import struct
+        import urllib.request
+
+        import jax.numpy as jnp
+
+        from droid_slam_tpu.config import SLAMConfig
+        from droid_slam_tpu.runtime.state import DepthVideo
+        from droid_slam_tpu.runtime.viewer import start_viewer
+
+        cfg = SLAMConfig(image_size=(32, 40), buffer=8)
+        video = DepthVideo(cfg)
+        rng = np.random.default_rng(0)
+        for t in range(4):
+            video.append(
+                t, jnp.asarray(rng.integers(0, 255, (32, 40, 3)),
+                               jnp.uint8),
+                jnp.asarray([0, 0, 0.01 * t, 0, 0, 0, 1.0]),
+                0.5, None, jnp.asarray([8.0, 8, 20, 16]) / 8.0,
+                jnp.zeros((1, 4, 5, 128), jnp.bfloat16),
+                jnp.zeros((4, 5, 128)), jnp.zeros((4, 5, 128)),
+            )
+        viewer = start_viewer(video, port=0, filter_thresh=10.0,
+                              min_count=1)
+        try:
+            base = f"http://127.0.0.1:{viewer.port}"
+            page = urllib.request.urlopen(f"{base}/", timeout=10).read()
+            assert b"<html" in page and b"map.bin" in page
+
+            raw = urllib.request.urlopen(f"{base}/map.bin",
+                                         timeout=30).read()
+            n_pts, n_cams = struct.unpack_from("<ii", raw, 0)
+            assert n_cams == 4
+            assert n_pts > 0
+            off = 8
+            pts = np.frombuffer(raw, np.float32, n_pts * 3, off)
+            off += n_pts * 12
+            col = np.frombuffer(raw, np.uint8, n_pts * 3, off)
+            off += n_pts * 3
+            off += (4 - off % 4) % 4
+            cams = np.frombuffer(raw, np.float32, n_cams * 7, off)
+            assert np.isfinite(pts).all()
+            assert np.isfinite(cams).all()
+            assert col.size == n_pts * 3
+        finally:
+            viewer.close()
