@@ -55,19 +55,26 @@ def main():
     rng = np.random.default_rng(0)
     intr = np.asarray([265.0, 265.0, W / 2, H / 2], np.float32)
 
-    n_warm = 22       # init at warmup=8 + enough frames to cross the
-    n_bench = 20      # power-of-2 distance-query buckets before timing
+    n_warm = 40       # init at warmup=8 + enough frames to cross every
+    n_bench = 20      # power-of-2 shape bucket the bench window touches
+                      # (t in [40, 60) stays inside the 64 bucket), so no
+                      # compile lands in the measured interval
 
     frames = [synth_frame(t, rng) for t in range(n_warm + n_bench)]
 
     import sys
+
+    def hard_sync():
+        # under the axon relay block_until_ready does NOT synchronize;
+        # a scalar readback is the only true barrier
+        float(np.asarray(droid.video.state.poses[0, 0]))
 
     for t in range(n_warm):
         f0 = time.perf_counter()
         droid.track(t, frames[t], intrinsics=intr)
         print(f"warm frame {t}: {time.perf_counter() - f0:.3f}s",
               file=sys.stderr, flush=True)
-    jax.block_until_ready(droid.video.state.poses)
+    hard_sync()
 
     t_start = time.perf_counter()
     for t in range(n_warm, n_warm + n_bench):
@@ -75,7 +82,7 @@ def main():
         droid.track(t, frames[t], intrinsics=intr)
         print(f"bench frame {t}: {time.perf_counter() - f0:.3f}s",
               file=sys.stderr, flush=True)
-    jax.block_until_ready(droid.video.state.poses)
+    hard_sync()
     elapsed = time.perf_counter() - t_start
 
     from droid_slam_tpu.utils.timers import GLOBAL_TIMERS
@@ -93,7 +100,7 @@ def main():
         droid.track(n_warm + n_bench + k, rep, intrinsics=intr)
     if hasattr(droid.frontend, "sync"):
         droid.frontend.sync()
-    jax.block_until_ready(droid.video.state.poses)
+    hard_sync()
     input_fps = n_rep / (time.perf_counter() - t0)
 
     print(json.dumps({

@@ -897,7 +897,12 @@ class FusedFrontend:
          self._t1_dev, self._last_flags) = out
 
         self._since_sync += 1
-        if self._since_sync >= 16:
+        # near buffer capacity the lazy 16-frame sync cadence could let
+        # the device overrun the keyframe buffer unnoticed — tighten to
+        # per-frame syncs so the overflow guard sees a fresh counter
+        near_full = (self.video.counter + self._since_sync
+                     >= self.cfg.buffer - 2)
+        if self._since_sync >= 16 or near_full:
             self.sync()
 
     def sync(self):
@@ -908,9 +913,7 @@ class FusedFrontend:
         self.video.counter = int(flags[2])
         self.t1 = self.video.counter
         self._since_sync = 0
-        # margin must cover the lazy-sync lag: up to 16 frames (one per
-        # frame worst case) can append between host syncs
-        if self.video.counter > self.cfg.buffer - 18:
+        if self.video.counter >= self.cfg.buffer - 2:
             raise RuntimeError(
                 f"keyframe buffer nearly full "
                 f"({self.video.counter}/{self.cfg.buffer}); increase "
