@@ -32,6 +32,9 @@ def main():
                    help="held-out scene family (seeds disjoint from the "
                         "training curriculum)")
     p.add_argument("--backend_steps", type=int, nargs=2, default=(3, 3))
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="runtime network compute dtype")
     args = p.parse_args()
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
@@ -70,6 +73,7 @@ def main():
                        motion_scale=args.motion)
         cfg = SLAMConfig(
             image_size=(H, W),
+            compute_dtype=args.dtype,
             buffer=args.n_frames + 20,   # keyframes + filler batch
             filler_batch=8,
             warmup=6, filter_thresh=0.0, keyframe_thresh=0.01,

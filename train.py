@@ -88,21 +88,25 @@ def _synthetic_dataset(cfg):
     )
 
     class Synthetic:
-        def __init__(self, n_scenes=32):
+        def __init__(self, n_scenes=64):
             H, W = cfg.image_size
+            # longer sequences than the training window => many distinct
+            # window starts per scene (generalization needs graph/window
+            # variety, not just scene variety)
+            T = max(16, cfg.n_frames + 2)
             self.scenes = []
             for s in range(n_scenes):
-                motion = [0.04, 0.08, 0.12][s % 3]
+                motion = [0.04, 0.08, 0.12, 0.16][s % 4]
                 if s % 4 < 3:
                     self.scenes.append(render_box_scene(
-                        cfg.n_frames + 2, H, W, seed=s,
+                        T, H, W, seed=s,
                         motion_scale=motion,
                         box=(2.0 + (s % 5) * 0.4, 1.5 + (s % 3) * 0.3,
                              5.0 + (s % 4)),
                     ))
                 else:
                     self.scenes.append(render_plane_scene(
-                        cfg.n_frames + 2, H, W, seed=s,
+                        T, H, W, seed=s,
                         motion_scale=motion,
                     ))
 
