@@ -50,7 +50,13 @@ def main():
     cfg = SLAMConfig(
         image_size=(H, W), buffer=96, warmup=8, filter_thresh=0.0,
     )
-    droid = Droid(cfg, seed=0)
+    # trained weights (committed npz) make the motion-filter gate
+    # meaningful for the input-fps phase; random init never rejects
+    import os.path as osp
+    wpath = osp.join(osp.dirname(osp.abspath(__file__)),
+                     "weights", "droid_synth.npz")
+    droid = Droid(cfg, weights_path=wpath if osp.exists(wpath) else None,
+                  seed=0)
 
     rng = np.random.default_rng(0)
     intr = np.asarray([265.0, 265.0, W / 2, H / 2], np.float32)
@@ -92,7 +98,10 @@ def main():
 
     # input-ingestion rate: repeat the last frame (zero motion => the
     # motion filter rejects it), measuring the per-input-frame cost the
-    # reference sustains at 30 fps (motion_filter.py:45-82)
+    # reference sustains at 30 fps (motion_filter.py:45-82).  Restore the
+    # reference's gate threshold for this phase (dynamic arg, no recompile).
+    if hasattr(droid.frontend, "filter_thresh"):
+        droid.frontend.filter_thresh = 2.4
     n_rep = 30
     rep = frames[-1]
     t0 = time.perf_counter()

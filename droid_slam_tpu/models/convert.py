@@ -99,3 +99,40 @@ def load_reference_weights(path):
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_state_dict(to_numpy_state(sd))
+
+
+def save_npz_weights(params, path):
+    """Flatten flax params to a compressed npz (slash-joined keys)."""
+    flat = {}
+
+    def walk(d, pfx):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                walk(v, pfx + (k,))
+            else:
+                flat["/".join(pfx + (k,))] = np.asarray(v)
+
+    walk(params["params"] if "params" in params else params, ())
+    np.savez_compressed(path, **flat)
+    return len(flat)
+
+
+def load_npz_weights(path):
+    """Load a params npz written by save_npz_weights -> flax params."""
+    data = np.load(path)
+    tree = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return {"params": tree}
+
+
+def load_weights(path):
+    """Dispatch by extension: .npz (this framework's own checkpoints) or
+    .pth (the reference's droid.pth, converted layer-by-layer)."""
+    if str(path).endswith(".npz"):
+        return load_npz_weights(path)
+    return load_reference_weights(path)

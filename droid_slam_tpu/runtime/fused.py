@@ -729,7 +729,7 @@ def build_track_step(net_mod, cfg, buf, H, W, oracle=None):
                                        oracle=oracle)
 
     def track_step(params, vstate, gstate, counter, t1, image, tstamp,
-                   intr8, disp_sens):
+                   intr8, disp_sens, filter_thresh):
         from .state import read_slot
 
         x = normalize_images(image)                    # (rig, H, W, 3)
@@ -758,7 +758,7 @@ def build_track_step(net_mod, cfg, buf, H, W, oracle=None):
             method=lambda m, n, i, c: m.update(n, i, c),
         )
         dmag = jnp.mean(jnp.linalg.norm(delta, axis=-1))
-        is_kf = dmag > cfg.filter_thresh
+        is_kf = dmag > filter_thresh   # dynamic: host can retune w/o recompile
 
         def kf_branch(vstate, gstate, counter, t1):
             # context features only for keyframes (motion_filter.py:61,77)
@@ -824,6 +824,7 @@ class FusedFrontend:
         self.oracle = oracle
 
         self.t1 = 0
+        self.filter_thresh = cfg.filter_thresh  # mutable, traced per call
         self.is_initialized = False
         h, w = video.fht, video.fwd
         _, _, _, _, _, EA, EI = fused_caps(cfg)
@@ -892,6 +893,7 @@ class FusedFrontend:
             self._counter_dev, self._t1_dev, image,
             jnp.asarray(tstamp, jnp.float32),
             jnp.asarray(intrinsics, jnp.float32) / 8.0, disp_sens,
+            jnp.asarray(self.filter_thresh, jnp.float32),
         )
         (self.video.state, self.gstate, self._counter_dev,
          self._t1_dev, self._last_flags) = out

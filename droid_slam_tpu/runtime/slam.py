@@ -28,8 +28,8 @@ class Droid:
         self.net = DroidNet(dtype=dtype)
 
         if params is None and weights_path is not None:
-            from ..models.convert import load_reference_weights
-            params = load_reference_weights(weights_path)
+            from ..models.convert import load_weights
+            params = load_weights(weights_path)
         if params is None:
             params = self._random_params(seed)
         self.params = params

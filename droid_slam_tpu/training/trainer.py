@@ -152,5 +152,7 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
 
     logger.flush(total_steps)
     os.makedirs(cfg.ckpt_dir, exist_ok=True)
-    save_checkpoint(cfg.ckpt_dir, state, total_steps)
+    final = os.path.join(cfg.ckpt_dir, f"step_{total_steps:06d}")
+    if not os.path.exists(final):   # ckpt_every may have just written it
+        save_checkpoint(cfg.ckpt_dir, state, total_steps)
     return state

@@ -35,6 +35,12 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="runtime network compute dtype")
+    p.add_argument("--backend_thresh", type=float, default=64.0,
+                   help="backend proximity distance threshold (the "
+                        "default SLAMConfig value targets 240x320 real "
+                        "scenes; small synthetic scenes need a looser "
+                        "graph)")
+    p.add_argument("--backend_nms", type=int, default=1)
     args = p.parse_args()
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
@@ -52,7 +58,11 @@ def main():
     H, W = args.size
 
     params = None
-    if args.ckpt:
+    if args.ckpt and str(args.ckpt).endswith(".npz"):
+        from droid_slam_tpu.models.convert import load_npz_weights
+        params = load_npz_weights(args.ckpt)
+        print(f"loaded npz weights {args.ckpt}")
+    elif args.ckpt:
         from droid_slam_tpu.config import TrainConfig
         from droid_slam_tpu.models.droidnet import DroidNet
         from droid_slam_tpu.training.train_step import create_train_state
@@ -80,6 +90,8 @@ def main():
             frontend_window=10, frontend_pose_cap=32,
             frontend_depth_cap=32, schur_degree_cap=48,
             frontend_thresh=64.0,
+            backend_thresh=args.backend_thresh,
+            backend_nms=args.backend_nms,
         )
         droid = Droid(cfg, params=params, seed=0)
 

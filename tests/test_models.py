@@ -156,6 +156,24 @@ class TestConverter:
         )
         chex.assert_trees_all_equal_shapes(init["params"], params["params"])
 
+    def test_npz_roundtrip(self, tmp_path):
+        from droid_slam_tpu.models.convert import (
+            load_weights, save_npz_weights,
+        )
+
+        params = convert_state_dict(self._fake_torch_sd())
+        path = str(tmp_path / "w.npz")
+        n = save_npz_weights(params, path)
+        assert n > 0
+        back = load_weights(path)
+
+        flat0 = jax.tree_util.tree_leaves_with_path(params["params"])
+        flat1 = jax.tree_util.tree_leaves_with_path(back["params"])
+        assert len(flat0) == len(flat1)
+        for (p0, a0), (p1, a1) in zip(flat0, flat1):
+            assert p0 == p1
+            np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
 
 class TestTrainingForward:
     def test_unrolled_forward_runs(self):
