@@ -578,6 +578,7 @@ def _shift_down(vstate, ix):
         poses=cp(vstate.poses), disps=cp(vstate.disps),
         disps_sens=cp(vstate.disps_sens), intrinsics=cp(vstate.intrinsics),
         fmaps=cp(vstate.fmaps), nets=cp(vstate.nets), inps=cp(vstate.inps),
+        disps_up=cp(vstate.disps_up),
     )
 
 

@@ -19,11 +19,17 @@ def _to_np(x):
     return a
 
 
+_GSTATE_FIELDS = ("ii", "jj", "target", "weight", "age", "seq", "active",
+                  "net", "inac", "ring_ptr", "tick")
+
+
 def save_session(path, droid):
     """Serialize a Droid instance's map + frontend graph state."""
     video = droid.video
     st = video.state
-    graph = droid.frontend.graph if hasattr(droid, "frontend") else None
+    frontend = getattr(droid, "frontend", None)
+    graph = getattr(frontend, "graph", None)
+    gstate = getattr(frontend, "gstate", None)   # FusedFrontend
 
     arrays = {
         f"video_{k}": _to_np(getattr(st, k))
@@ -34,7 +40,14 @@ def save_session(path, droid):
     }
     arrays["counter"] = np.asarray(video.counter)
 
-    if graph is not None:
+    if gstate is not None:
+        arrays.update({
+            f"gstate_{k}": _to_np(getattr(gstate, k))
+            for k in _GSTATE_FIELDS
+        })
+        arrays["frontend_t1"] = np.asarray(frontend.t1)
+        arrays["frontend_init"] = np.asarray(frontend.is_initialized)
+    elif graph is not None:
         arrays.update(
             graph_ii=graph.ii, graph_jj=graph.jj, graph_age=graph.age,
             graph_slots=graph.slots,
@@ -71,7 +84,18 @@ def load_session(path, droid):
     })
     video.counter = int(data["counter"])
 
-    if "graph_ii" in data and hasattr(droid, "frontend"):
+    if "gstate_ii" in data and hasattr(droid, "frontend"):
+        g = droid.frontend.gstate
+        droid.frontend.gstate = g.replace(**{
+            k: jnp.asarray(data[f"gstate_{k}"]).astype(
+                getattr(g, k).dtype
+            )
+            for k in _GSTATE_FIELDS
+        })
+        droid.frontend.t1 = int(data["frontend_t1"])
+        droid.frontend.is_initialized = bool(data["frontend_init"])
+        droid.frontend._counter_dev = None   # re-mirror from host counter
+    elif "graph_ii" in data and hasattr(droid, "frontend"):
         g = droid.frontend.graph
         g.ii = data["graph_ii"]
         g.jj = data["graph_jj"]

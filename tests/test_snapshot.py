@@ -40,12 +40,17 @@ def test_snapshot_roundtrip(tmp_path):
         np.asarray(droid2.video.state.poses),
         np.asarray(droid.video.state.poses),
     )
-    np.testing.assert_array_equal(droid2.frontend.graph.ii,
-                                  droid.frontend.graph.ii)
+    np.testing.assert_array_equal(np.asarray(droid2.frontend.gstate.ii),
+                                  np.asarray(droid.frontend.gstate.ii))
+    np.testing.assert_array_equal(
+        np.asarray(droid2.frontend.gstate.active),
+        np.asarray(droid.frontend.gstate.active))
     assert droid2.frontend.is_initialized == droid.frontend.is_initialized
 
-    # the restored session keeps tracking
+    # the restored session keeps tracking (sync: the fused frontend
+    # streams asynchronously and refreshes host mirrors lazily)
     droid2.track(6, synth_frame(6, rng), intrinsics=intr)
+    droid2._sync()
     assert droid2.video.counter == droid.video.counter + 1
     assert np.all(np.isfinite(np.asarray(
         droid2.video.state.poses[: droid2.video.counter]
