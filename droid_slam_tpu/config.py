@@ -68,6 +68,11 @@ class SLAMConfig:
     # (0 = auto: chunk only when the per-update transient would exceed
     # ~0.6 GB — the large-resolution global-BA regime)
     corr_pixel_chunk: int = 0
+    # fused frontend: cache the per-edge correlation-volume pyramid across
+    # the 4+2 update rounds of a keyframe step (volumes depend only on the
+    # feature maps and the edge set, both fixed within the step).  Budget
+    # in MB; 0 disables, volumes above the budget recompute on the fly.
+    corr_cache_mb: int = 512
 
     # --- precision ----------------------------------------------------------
     compute_dtype: str = "bfloat16"            # network compute

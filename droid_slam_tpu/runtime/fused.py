@@ -416,6 +416,49 @@ def _build_kx(ii, mask_ba, t0, t1b, buf, K):
     return kx, kmask
 
 
+def _volume_cache_fits(cfg, EA, ht, wd):
+    """Static decision: does the per-edge volume pyramid fit the budget?
+
+    The pyramid totals EA · ht·wd · Σ_l(h2_l·w2_l) bf16 bytes; caching it
+    across a keyframe's 4+2 update rounds removes 5 of the 6 volume
+    constructions (the fmaps and edge set are fixed within the step).
+    """
+    if cfg.corr_cache_mb <= 0:
+        return False
+    tgt = 0
+    h2, w2 = ht, wd
+    for _ in range(corr_ops.NUM_LEVELS):
+        tgt += h2 * w2
+        h2, w2 = h2 // 2, w2 // 2
+    return EA * ht * wd * tgt * 2 <= cfg.corr_cache_mb * 1_000_000
+
+
+def make_edge_volumes(cfg, EA, ht, wd):
+    """Per-edge correlation-volume pyramid builder (one MXU einsum per
+    level), cached for the whole keyframe step.  Returns
+    list[(1, EA, ht, wd, h2_l, w2_l) bf16]."""
+    rig = 2 if cfg.stereo else 1
+
+    def build(gstate, fmap_pyr):
+        ii_a = gstate.ii[:EA]
+        jj_a = gstate.jj[:EA]
+        f1 = take_rows(fmap_pyr[0], rig * ii_a).astype(jnp.float32) / 4.0
+        cam2 = rig * jj_a + (ii_a == jj_a).astype(jnp.int32) * (rig - 1)
+        f1f = f1.reshape(EA, ht * wd, -1)
+        vols = []
+        for p in fmap_pyr:
+            f2 = take_rows(p, cam2).astype(jnp.float32) / 4.0
+            h2, w2 = f2.shape[1:3]
+            v = jnp.einsum(
+                "epc,eqc->epq", f1f, f2.reshape(EA, h2 * w2, -1),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            vols.append(v.reshape(1, EA, ht, wd, h2, w2))
+        return vols
+
+    return build
+
+
 def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
     """Build the shared (update operator + BA) round body.
 
@@ -425,7 +468,7 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
     """
     rig = 2 if cfg.stereo else 1
 
-    def update_round(params, vstate, gstate, fmap_pyr):
+    def update_round(params, vstate, gstate, fmap_pyr, vols=None):
         EA = _ea(gstate)
         ii_a = gstate.ii[:EA]
         jj_a = gstate.jj[:EA]
@@ -465,17 +508,30 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
                 ), -64.0, 64.0,
             )
 
-            f1 = take_rows(fmap_pyr[0], rig * ii_a).astype(jnp.float32) / 4.0
-            cam2 = rig * jj_a + (ii_a == jj_a).astype(jnp.int32) * (rig - 1)
-            f2 = [
-                take_rows(p, cam2).astype(jnp.float32) / 4.0
-                for p in fmap_pyr
-            ]
-            from .factor_graph import corr_pixel_chunk
-            corr = corr_ops.alt_lookup_pyramid(
-                f1, f2, coords1,
-                pixel_chunk=corr_pixel_chunk(cfg, EA, ht * wd),
-            )
+            if vols is not None:
+                # cached-volume lookup: the expensive volume einsums ran
+                # once per keyframe step, not once per round
+                corr = jnp.concatenate([
+                    corr_ops.lookup_level_onehot(
+                        v, (coords1 / (2.0 ** l))[None]
+                    )[0]
+                    for l, v in enumerate(vols)
+                ], axis=-1)
+            else:
+                f1 = take_rows(
+                    fmap_pyr[0], rig * ii_a
+                ).astype(jnp.float32) / 4.0
+                cam2 = (rig * jj_a
+                        + (ii_a == jj_a).astype(jnp.int32) * (rig - 1))
+                f2 = [
+                    take_rows(p, cam2).astype(jnp.float32) / 4.0
+                    for p in fmap_pyr
+                ]
+                from .factor_graph import corr_pixel_chunk
+                corr = corr_ops.alt_lookup_pyramid(
+                    f1, f2, coords1,
+                    pixel_chunk=corr_pixel_chunk(cfg, EA, ht * wd),
+                )
 
             inp = take_rows(vstate.inps, ii_a)
             seg = jnp.where(active, ii_a, buf)
@@ -616,6 +672,9 @@ def make_keyframe_core(net_mod, cfg, buf, ht, wd, oracle=None):
 
     update_round = make_update_round(net_mod, cfg, buf, ht, wd, P, K,
                                      oracle=oracle)
+    cache_vols = oracle is None and _volume_cache_fits(cfg, EA, ht, wd)
+    build_vols = (make_edge_volumes(cfg, EA, ht, wd) if cache_vols
+                  else None)
 
     def keyframe_step(params, vstate, gstate, t1):
         t1 = jnp.asarray(t1, jnp.int32)
@@ -655,10 +714,14 @@ def make_keyframe_core(net_mod, cfg, buf, ht, wd, oracle=None):
             disps=write_slot(vstate.disps, t1 - 1, d_new)
         )
 
-        # 4. mandatory update+BA rounds (droid_frontend.py:49-50)
+        # 4. mandatory update+BA rounds (droid_frontend.py:49-50).
+        # Volumes are built ONCE here: the edge set and fmaps are fixed
+        # for the rest of the step (the cull branch runs no more rounds).
+        vols = build_vols(gstate, fmap_pyr) if cache_vols else None
+
         def round_body(carry, _):
             v, g = carry
-            v, g = update_round(params, v, g, fmap_pyr)
+            v, g = update_round(params, v, g, fmap_pyr, vols=vols)
             return (v, g), None
 
         (vstate, gstate), _ = jax.lax.scan(

@@ -213,6 +213,46 @@ def test_fused_oracle_recovers_gt(cfg, scene):
     assert ate < 0.02, ate
 
 
+@pytest.mark.slow
+def test_volume_cache_matches_on_the_fly():
+    """The per-keyframe cached correlation-volume pyramid must reproduce
+    the per-round on-the-fly (alt) lookup: identical volume einsum +
+    one-hot lookup math, hoisted out of the round scan."""
+    import dataclasses
+
+    from droid_slam_tpu.runtime.slam import Droid
+
+    h, w = 64, 96
+    base = SLAMConfig(
+        image_size=(h, w), buffer=16, warmup=5, filter_thresh=0.0,
+        frontend_window=8, frontend_edge_cap=64, frontend_pose_cap=32,
+        frontend_depth_cap=32, schur_degree_cap=32,
+    )
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = [
+        np.clip(
+            127 + 60 * np.sin(0.2 * (x + 3 * t)) * np.cos(0.15 * (y + 2 * t))
+            + rng.normal(0, 2, (h, w)), 0, 255,
+        ).astype(np.uint8)[..., None].repeat(3, -1)
+        for t in range(7)
+    ]
+    intr = np.asarray([80.0, 80.0, w / 2, h / 2], np.float32)
+
+    poses = {}
+    for cache_mb in (512, 0):
+        cfg = dataclasses.replace(base, corr_cache_mb=cache_mb)
+        droid = Droid(cfg, seed=0)
+        for t, img in enumerate(frames):
+            droid.track(t, img, intrinsics=intr)
+        droid._sync()
+        n = droid.video.counter
+        poses[cache_mb] = np.asarray(droid.video.state.poses[:n])
+
+    assert poses[512].shape == poses[0].shape
+    np.testing.assert_allclose(poses[512], poses[0], atol=1e-3)
+
+
 def test_graph_state_insert_dedup():
     """Candidates already present (active or inactive) must not re-insert;
     fresh candidates take free slots in order."""
