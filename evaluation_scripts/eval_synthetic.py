@@ -41,6 +41,9 @@ def main():
                         "scenes; small synthetic scenes need a looser "
                         "graph)")
     p.add_argument("--backend_nms", type=int, default=1)
+    p.add_argument("--compare", action="store_true",
+                   help="also run random-init on the same scenes and "
+                        "report the learned/random ATE ratio")
     args = p.parse_args()
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
@@ -75,8 +78,7 @@ def main():
         params = state.params
         print(f"loaded checkpoint at step {int(state.step)}")
 
-    results = []
-    for seed in args.seeds:
+    def run_scene(seed, run_params, tag=""):
         render = (render_box_scene if args.scene == "box"
                   else render_plane_scene)
         scene = render(args.n_frames, H, W, seed=seed,
@@ -93,7 +95,7 @@ def main():
             backend_thresh=args.backend_thresh,
             backend_nms=args.backend_nms,
         )
-        droid = Droid(cfg, params=params, seed=0)
+        droid = Droid(cfg, params=run_params, seed=0)
 
         intr = scene["intrinsics"][0]
         for t in range(args.n_frames):
@@ -109,13 +111,22 @@ def main():
         gt_span = np.linalg.norm(
             gt_c2w[:, :3] - gt_c2w[:1, :3], axis=1
         ).max()
-        results.append(ate)
-        print(f"seed {seed}: ATE = {ate:.4f} m "
+        print(f"seed {seed}{tag}: ATE = {ate:.4f} m "
               f"(trajectory span {gt_span:.3f} m, "
               f"{droid.video.counter} keyframes)")
+        return ate
 
+    results = [run_scene(s, params) for s in args.seeds]
     print(f"mean ATE over {len(results)} scenes: "
           f"{np.mean(results):.4f} m")
+
+    if args.compare:
+        base = [run_scene(s, None, tag=" [random-init]")
+                for s in args.seeds]
+        print(f"mean random-init ATE: {np.mean(base):.4f} m; "
+              f"learned/random ratio "
+              f"{np.mean(results) / np.mean(base):.3f} "
+              f"(improvement {np.mean(base) / np.mean(results):.2f}x)")
     return float(np.mean(results))
 
 
