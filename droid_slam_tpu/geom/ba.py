@@ -163,7 +163,11 @@ def ba(target, weight, eta, poses, disps, intrinsics, ii, jj,
     dx_full = dx_full.at[:, fixedp:fixedp + Pp].set(dx)
     poses = se3.retr(poses, dx_full)
 
-    disps = disps + dz.reshape(B, M, ht, wd)
+    # depth rows are per FRAME (kk = ii // rig): scatter dz into the
+    # first M = P//rig rows, exactly the reference's disp_retr at frame
+    # indices (ba.py:101 scatter_sum(dz, kx, dim_size=P)); for rig=1
+    # this is the whole buffer
+    disps = disps.at[:, :M].add(dz.reshape(B, M, ht, wd))
 
     disps = jnp.where(disps > 10.0, jnp.zeros_like(disps), disps)
     disps = jnp.maximum(disps, 0.0)

@@ -116,7 +116,11 @@ class Backend:
                 ii_n, jj_n, np.asarray(target), np.asarray(weight), em,
                 n_shards, E_shard, K_shard, D, t0, t1,
             )
-            key = (E_shard, K_shard, D)
+            # pose_cap is baked into the compiled solver (P_cap) and
+            # changes with the keyframe-count bucket — it must be part
+            # of the cache key or a later, larger session could reuse a
+            # solver that never optimizes poses beyond the old cap
+            key = (E_shard, K_shard, D, pose_cap)
             if key not in self._dist_fns:
                 self._dist_fns[key] = pdba.make_distributed_ba(
                     mesh, iters=cfg.ba_iters,

@@ -106,10 +106,19 @@ def _exist_masks(gstate):
 # ---------------------------------------------------------------------------
 
 
-def _retire(gstate, mask, R=32):
-    """Move up to R masked active edges into the inactive ring."""
+def _retire(gstate, mask, R=None):
+    """Move ALL masked active edges into the inactive ring.
+
+    R (the selector height) must be >= the worst-case number of masked
+    edges; it defaults to EA so no retired edge can silently lose its
+    stored target/weight (the reference's store=True keeps every removed
+    edge, factor_graph.py:136-160).  The (R, EA) selector matmuls are
+    trivial at these sizes.
+    """
     EA = _ea(gstate)
     EI = gstate.inac.shape[0]
+    if R is None:
+        R = EA
 
     rk = jnp.cumsum(mask.astype(jnp.int32)) - 1
     r = jnp.arange(R, dtype=jnp.int32)
@@ -134,6 +143,12 @@ def _retire(gstate, mask, R=32):
     ringsel = (
         (jnp.arange(EI)[:, None] == pos[None, :]) & got[None, :]
     )                                                        # (EI, R)
+    # if more edges retire in one call than the ring holds (R > EI),
+    # wrapped positions collide: keep only the NEWEST writer per slot so
+    # the selector einsum stays one-hot (ring semantics: newest wins)
+    if R > EI:
+        r_newest = jnp.max(jnp.where(ringsel, r[None, :], -1), axis=1)
+        ringsel = ringsel & (r[None, :] == r_newest[:, None])
     written = jnp.any(ringsel, axis=1)
     rs_f = ringsel.astype(jnp.float32)
 
@@ -273,6 +288,9 @@ def _select_proximity(d, gstate, t0p, t1p, t, *, rad, nms, thresh,
         val = d.reshape(-1)[k]
         i = t0p + ro
         j = t1p + co
+        # <= (not <): the reference takes while the count has not yet
+        # EXCEEDED the budget (native/proximity.cpp:112 `if (n_out >
+        # max_factors) break`), overshooting by up to one pair — matched
         take = (val <= thresh) & (count <= max_factors)
 
         base = SRCP * S + 2 * it
@@ -639,15 +657,10 @@ def _shift_down(vstate, ix):
 
 
 def _pyramids(fmaps):
-    """Pooled feature pyramids (see state._fmap_pyramids)."""
-    x = fmaps.reshape((-1,) + fmaps.shape[2:]).astype(jnp.bfloat16)
-    levels = [x]
-    for _ in range(3):
-        N, h, w, C = x.shape
-        h2, w2 = h // 2 * 2, w // 2 * 2
-        x = x[:, :h2, :w2].reshape(N, h2 // 2, 2, w2 // 2, 2, C).mean((2, 4))
-        levels.append(x)
-    return tuple(levels)
+    """Pooled feature pyramids (the shared state._fmap_pyramids)."""
+    from .state import _fmap_pyramids
+
+    return _fmap_pyramids(fmaps)
 
 
 def fused_caps(cfg):
@@ -657,6 +670,11 @@ def fused_caps(cfg):
     TGTP = int(np.ceil((window + 7) / 8) * 8)
     GC = max(48, cfg.frontend_max_factors)
     P = K = max(32, int(np.ceil((window + 10) / 8) * 8))
+    # _build_kx silently truncates members beyond K (no raising inside
+    # jit, unlike ops/dba.build_schur_tables).  Frontend edges live in
+    # [t1-window, t1) and the BA mask keeps ii >= t0-3, so the member
+    # count is bounded by window + 3 — keep the static margin provable
+    assert K >= window + 4, (K, window)
     EA = max(64, int(np.ceil((cfg.frontend_max_factors + 16) / 8) * 8))
     EI = cfg.frontend_edge_cap
     return SRCP, TGTP, GC, P, K, EA, EI
@@ -805,16 +823,10 @@ def build_track_step(net_mod, cfg, buf, H, W, oracle=None):
         knet = read_slot(vstate.nets, counter - 1)
         kinp = read_slot(vstate.inps, counter - 1)
 
+        from .state import pool_pyramid
+
         f1 = kf_fmap[0:1].astype(jnp.float32) / 4.0
-        f2l = fmap[0:1].astype(jnp.float32) / 4.0
-        f2_pyr = [f2l]
-        for _ in range(3):
-            N, hh, ww, C = f2_pyr[-1].shape
-            h2, w2 = hh // 2 * 2, ww // 2 * 2
-            f2_pyr.append(
-                f2_pyr[-1][:, :h2, :w2]
-                .reshape(N, h2 // 2, 2, w2 // 2, 2, C).mean((2, 4))
-            )
+        f2_pyr = list(pool_pyramid(fmap[0:1].astype(jnp.float32) / 4.0))
         coords0 = projective.coords_grid(ht, wd)[None]
         corr = corr_ops.alt_lookup_pyramid(f1, f2_pyr, coords0)
         _, delta, _ = net_mod.apply(

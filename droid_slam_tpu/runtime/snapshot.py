@@ -26,8 +26,13 @@ _GSTATE_FIELDS = ("ii", "jj", "target", "weight", "age", "seq", "active",
 def save_session(path, droid):
     """Serialize a Droid instance's map + frontend graph state."""
     video = droid.video
-    st = video.state
     frontend = getattr(droid, "frontend", None)
+    # the fused streaming path refreshes host mirrors (video.counter,
+    # frontend.t1) only every 16 frames — block on the latest streamed
+    # frame first so the saved counter matches the saved device arrays
+    if hasattr(frontend, "sync"):
+        frontend.sync()
+    st = video.state
     graph = getattr(frontend, "graph", None)
     gstate = getattr(frontend, "gstate", None)   # FusedFrontend
 
@@ -94,7 +99,14 @@ def load_session(path, droid):
         })
         droid.frontend.t1 = int(data["frontend_t1"])
         droid.frontend.is_initialized = bool(data["frontend_init"])
-        droid.frontend._counter_dev = None   # re-mirror from host counter
+        # drop every stale streaming mirror: _counter_dev/_t1_dev
+        # re-mirror from the restored host counter on the next frame,
+        # and _last_flags must not let a later sync() overwrite the
+        # restored counter with the PREVIOUS session's flags
+        droid.frontend._counter_dev = None
+        droid.frontend._t1_dev = None
+        droid.frontend._last_flags = None
+        droid.frontend._since_sync = 0
     elif "graph_ii" in data and hasattr(droid, "frontend"):
         g = droid.frontend.graph
         g.ii = data["graph_ii"]

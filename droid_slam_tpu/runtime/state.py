@@ -90,6 +90,22 @@ def _append(state, idx, tstamp, image, pose, disp, disp_sens, intr,
 
 
 @jax.jit
+def pool_pyramid(x, levels=4):
+    """3× average-pooled pyramid of (N, h, w, C) features, dtype kept.
+
+    The ONE implementation of the correlation pyramid's pooling — the
+    fused frontend and the motion filter must stay in lockstep with the
+    lookup's level semantics, so they all call this.
+    """
+    out = [x]
+    for _ in range(levels - 1):
+        N, h, w, C = x.shape
+        h2, w2 = h // 2 * 2, w // 2 * 2
+        x = x[:, :h2, :w2].reshape(N, h2 // 2, 2, w2 // 2, 2, C).mean((2, 4))
+        out.append(x)
+    return tuple(out)
+
+
 def _fmap_pyramids(fmaps):
     """Pooled feature pyramids for the on-the-fly correlation.
 
@@ -97,14 +113,9 @@ def _fmap_pyramids(fmaps):
     bf16 (raw scale; the update core divides by 4, matching AltCorrBlock's
     construction, reference modules/corr.py:116-124).
     """
-    x = fmaps.reshape((-1,) + fmaps.shape[2:]).astype(jnp.bfloat16)
-    levels = [x]
-    for _ in range(3):
-        N, h, w, C = x.shape
-        h2, w2 = h // 2 * 2, w // 2 * 2
-        x = x[:, :h2, :w2].reshape(N, h2 // 2, 2, w2 // 2, 2, C).mean((2, 4))
-        levels.append(x)
-    return tuple(levels)
+    return pool_pyramid(
+        fmaps.reshape((-1,) + fmaps.shape[2:]).astype(jnp.bfloat16)
+    )
 
 
 @jax.jit

@@ -236,7 +236,11 @@ class LiveViewer:
                     self.end_headers()
                     self.wfile.write(body)
                 elif self.path.startswith("/stats"):
-                    pts, col, cams = outer.snapshot_fn()
+                    try:
+                        pts, col, cams = outer.snapshot_fn()
+                    except Exception:           # mid-update state: skip
+                        pts = np.zeros((0, 3), np.float32)
+                        cams = np.zeros((0, 7), np.float32)
                     body = json.dumps(
                         {"points": len(pts), "keyframes": len(cams)}
                     ).encode()

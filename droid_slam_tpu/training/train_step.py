@@ -69,6 +69,11 @@ def pad_edges(ii, jj, cap):
     jj = np.asarray(jj).reshape(-1)
     n = len(ii)
     if n > cap:
+        import warnings
+        warnings.warn(
+            f"pad_edges: truncating {n} edges to capacity {cap}; later "
+            f"frames lose BA constraints — raise edge_cap", stacklevel=2,
+        )
         ii, jj, n = ii[:cap], jj[:cap], cap
     ii_p = np.zeros(cap, np.int32)
     jj_p = np.zeros(cap, np.int32)

@@ -78,7 +78,13 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
     rng = np.random.default_rng(seed)
     max_steps = max_steps or cfg.steps
     N = cfg.n_frames
-    E_cap = edge_cap or int(np.ceil((cfg.edges + 12) / 8) * 8)
+    # capacity must hold BOTH graph families: the covisibility sampler
+    # emits ~cfg.edges, the temporal |i-j|<=2 graph emits 4N-6 edges —
+    # pad_edges silently truncates overflow, so undersizing would drop
+    # edges (and BA constraints) for the later frames of every temporal
+    # batch
+    need = max(cfg.edges + 12, 4 * N - 6)
+    E_cap = edge_cap or int(np.ceil(need / 8) * 8)
 
     accum, apply_g = make_train_step(
         net, tx, iters=cfg.iters, fix_scale=cfg.fix_scale, mesh=mesh,

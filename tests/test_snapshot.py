@@ -48,10 +48,17 @@ def test_snapshot_roundtrip(tmp_path):
     assert droid2.frontend.is_initialized == droid.frontend.is_initialized
 
     # the restored session keeps tracking (sync: the fused frontend
-    # streams asynchronously and refreshes host mirrors lazily)
+    # streams asynchronously and refreshes host mirrors lazily).  The new
+    # frame may legitimately be culled right after its append (the fused
+    # step's distance check), so assert the counter INVARIANT from the
+    # device flags rather than a fixed +1: counter' = counter + kf - cull.
     droid2.track(6, synth_frame(6, rng), intrinsics=intr)
+    flags = np.asarray(droid2.frontend._last_flags)
     droid2._sync()
-    assert droid2.video.counter == droid.video.counter + 1
+    is_kf, cull, counter_dev = int(flags[0]), int(flags[1]), int(flags[2])
+    assert droid2.video.counter == counter_dev
+    assert counter_dev == droid.video.counter + is_kf - cull
+    assert is_kf == 1          # filter_thresh=0: every frame is a keyframe
     assert np.all(np.isfinite(np.asarray(
         droid2.video.state.poses[: droid2.video.counter]
     )))
