@@ -73,6 +73,10 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--imagedir", help="directory of input images")
     p.add_argument("--calib", help="calibration file (fx fy cx cy [dist])")
+    p.add_argument("--datapath", default=None,
+                   help="dataset directory; layout auto-detected "
+                        "(ETH3D/TartanAir/TUM/EuRoC/KITTI, "
+                        "data/factory.py:create_stream)")
     p.add_argument("--weights", default=None,
                    help="converted droid.pth checkpoint (torch format)")
     p.add_argument("--synthetic", type=int, default=0,
@@ -97,11 +101,23 @@ def main():
                         "free port)")
     args = p.parse_args()
 
-    if not args.synthetic and not (args.imagedir and args.calib):
-        p.error("provide --imagedir and --calib, or --synthetic N")
+    if not args.synthetic and not args.datapath \
+            and not (args.imagedir and args.calib):
+        p.error("provide --imagedir and --calib, --datapath, "
+                "or --synthetic N")
 
     if args.synthetic:
         frames = list(synthetic_stream(args.synthetic))
+    elif args.datapath:
+        from droid_slam_tpu.data.factory import create_stream
+        # normalize every stream family to (t, image[, depth], intr):
+        # RGB streams yield 3-tuples, RGB-D 4- or 5-tuples (w/ tstamp)
+        frames = []
+        for tup in create_stream(args.datapath, stride=args.stride):
+            if len(tup) == 3:
+                frames.append(tup)
+            else:
+                frames.append(tuple(tup[:4]))
     else:
         frames = list(image_stream(args.imagedir, args.calib,
                                    args.stride, args.t0,
@@ -139,8 +155,12 @@ def main():
         from droid_slam_tpu.runtime.viewer import start_viewer
         viewer = start_viewer(droid.video, port=args.viewer)
 
-    for (t, image, intr) in frames:
-        droid.track(t, image, intrinsics=intr)
+    for tup in frames:
+        if len(tup) == 4:
+            t, image, depth, intr = tup
+        else:
+            (t, image, intr), depth = tup, None
+        droid.track(t, image, depth=depth, intrinsics=intr)
         print(f"\rframe {t}  keyframes={droid.video.counter}",
               end="", flush=True)
     print()
@@ -150,7 +170,9 @@ def main():
         n_pts = export_point_cloud(droid.video, args.export_ply)
         print(f"wrote {n_pts} points to {args.export_ply}")
 
-    traj = droid.terminate(iter(frames), backend_steps=tuple(args.backend_steps))
+    rgb_frames = [(f[0], f[1], f[-1]) for f in frames]
+    traj = droid.terminate(iter(rgb_frames),
+                           backend_steps=tuple(args.backend_steps))
 
     ts = np.asarray([f[0] for f in frames], np.float64)
     out = np.column_stack([ts, traj[:, :3], traj[:, 3:]])

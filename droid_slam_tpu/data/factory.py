@@ -55,12 +55,19 @@ def create_stream(datapath, **kwargs):
     (factory.py:34-59 semantics)."""
     from . import streams
 
+    # marker-file priority mirrors the reference dispatch
+    # (factory.py:40-55: calibration.txt -> ETH3D, image_left ->
+    # TartanAir, rgb.txt -> TUM, mav0 -> EuRoC, calib.txt -> KITTI)
+    if osp.isfile(osp.join(datapath, "calibration.txt")):
+        return streams.eth3d_stream(datapath, **kwargs)
+    if osp.isdir(osp.join(datapath, "image_left")):
+        return streams.tartan_stream(datapath, **kwargs)
+    if osp.isfile(osp.join(datapath, "rgb.txt")) or \
+       osp.isdir(osp.join(datapath, "rgb")):
+        return streams.tum_stream(datapath, **kwargs)
     if osp.isfile(osp.join(datapath, "mav0", "cam0", "data.csv")) or \
        osp.isdir(osp.join(datapath, "mav0")):
         return streams.euroc_stream(datapath, **kwargs)
-    if osp.isfile(osp.join(datapath, "rgb.txt")) and \
-       osp.isfile(osp.join(datapath, "calibration.txt")):
-        return streams.eth3d_stream(datapath, **kwargs)
-    if osp.isdir(osp.join(datapath, "rgb")):
-        return streams.tum_stream(datapath, **kwargs)
+    if osp.isfile(osp.join(datapath, "calib.txt")):
+        return streams.kitti_stream(datapath, **kwargs)
     raise ValueError(f"unrecognized dataset layout at {datapath}")

@@ -156,6 +156,69 @@ def eth3d_stream(datapath, stride=1, depth_scale=5000.0):
         ), tstamp
 
 
+def tartan_stream(datapath, stride=1):
+    """TartanAir scene stream: `image_left/*.png` at the fixed TartanAir
+    pinhole calibration (reference tartan.py:73-105 TartanAirStream).
+
+    Yields (t, (H, W, 3) RGB uint8, fx/fy/cx/cy).
+    """
+    import cv2
+
+    intr = np.array([320.0, 320.0, 320.0, 240.0], np.float32)
+    paths = sorted(
+        glob.glob(osp.join(datapath, "image_left", "*.png"))
+    )[::stride]
+    for t, path in enumerate(paths):
+        image = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        h, w = image.shape[:2]
+        yield t, image[: h - h % 8, : w - w % 8], intr
+
+
+def kitti_stream(datapath, stride=1, stereo=False):
+    """KITTI odometry sequence stream: `image_2/` (+ `image_3/` right)
+    with the sequence `calib.txt` P2/P3 projection rows.
+
+    The reference's factory dispatches `calib.txt` layouts to a
+    KITTIStream (factory.py:51-52) that its repo never defines — this is
+    the working implementation of that dead branch.
+
+    Yields (t, image, intr) or, with stereo, (t, left, right, intr);
+    images cropped to a multiple of 8.
+    """
+    import cv2
+
+    # calib.txt rows: "P0: <12 floats>" (3x4 projections); color cams
+    # are P2 (left) / P3 (right)
+    P = {}
+    with open(osp.join(datapath, "calib.txt")) as f:
+        for line in f:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                P[k.strip()] = np.fromstring(v, sep=" ").reshape(3, 4)
+    P2 = P["P2"] if "P2" in P else P["P0"]
+    intr = np.array(
+        [P2[0, 0], P2[1, 1], P2[0, 2], P2[1, 2]], np.float32
+    )
+
+    ldir = "image_2" if osp.isdir(osp.join(datapath, "image_2")) else \
+        "image_0"
+    rdir = "image_3" if osp.isdir(osp.join(datapath, "image_3")) else \
+        "image_1"
+    lefts = sorted(glob.glob(osp.join(datapath, ldir, "*.png")))[::stride]
+    rights = sorted(glob.glob(osp.join(datapath, rdir, "*.png")))[::stride]
+
+    def load(path):
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        return img[: h - h % 8, : w - w % 8]
+
+    for t, lp in enumerate(lefts):
+        if stereo:
+            yield t, load(lp), load(rights[t]), intr
+        else:
+            yield t, load(lp), intr
+
+
 def directory_stream(imagedir, calib, stride=1, target_area=384 * 512):
     """Generic calibrated image-directory stream (demo.py:23-51)."""
     import cv2

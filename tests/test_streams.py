@@ -144,3 +144,53 @@ class TestGenericStereoRgbdStreams:
         assert img.shape == (128, 160, 3)
         assert depth.shape == (128, 160)
         assert 0.4 < depth.mean() < 4.1
+
+
+class TestKittiStream:
+    @pytest.fixture()
+    def kitti_dir(self, tmp_path):
+        rng = np.random.default_rng(5)
+        for sub in ("image_2", "image_3"):
+            (tmp_path / sub).mkdir()
+            for t in range(4):
+                cv2.imwrite(str(tmp_path / sub / f"{t:06d}.png"),
+                            _img(rng, 376, 1241))
+        # odometry-style calib.txt: P0..P3 3x4 rows
+        with open(tmp_path / "calib.txt", "w") as f:
+            P = "7.188560e+02 0 6.071928e+02 0 0 7.188560e+02 " \
+                "1.852157e+02 0 0 0 1 0"
+            for k in ("P0", "P1", "P2", "P3"):
+                f.write(f"{k}: {P}\n")
+        return str(tmp_path)
+
+    def test_mono(self, kitti_dir):
+        frames = list(streams.kitti_stream(kitti_dir, stride=2))
+        assert len(frames) == 2
+        t, img, intr = frames[0]
+        assert img.shape[0] % 8 == 0 and img.shape[1] % 8 == 0
+        np.testing.assert_allclose(
+            intr, [718.856, 718.856, 607.1928, 185.2157], rtol=1e-5)
+
+    def test_stereo(self, kitti_dir):
+        frames = list(streams.kitti_stream(kitti_dir, stereo=True))
+        assert len(frames) == 4
+        t, left, right, intr = frames[0]
+        assert left.shape == right.shape
+
+    def test_factory_dispatch(self, kitti_dir):
+        frames = list(create_stream(kitti_dir))
+        assert len(frames) == 4
+
+
+class TestTartanStream:
+    def test_stream_and_dispatch(self, tmp_path):
+        rng = np.random.default_rng(6)
+        (tmp_path / "image_left").mkdir()
+        for t in range(3):
+            cv2.imwrite(str(tmp_path / "image_left" / f"{t:06d}.png"),
+                        _img(rng, 480, 640))
+        frames = list(create_stream(str(tmp_path)))
+        assert len(frames) == 3
+        t, img, intr = frames[0]
+        assert img.shape == (480, 640, 3)
+        np.testing.assert_allclose(intr, [320.0, 320.0, 320.0, 240.0])
