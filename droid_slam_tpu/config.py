@@ -73,6 +73,10 @@ class SLAMConfig:
     # feature maps and the edge set, both fixed within the step).  Budget
     # in MB; 0 disables, volumes above the budget recompute on the fly.
     corr_cache_mb: int = 512
+    # windowed-lookup implementation: "onehot" (selector matmuls on the
+    # MXU) or "pallas" (double-rolled dynamic-rotate kernel,
+    # ops/corr_pallas.py; hardware TPU only)
+    lookup_impl: str = "onehot"
 
     # --- precision ----------------------------------------------------------
     compute_dtype: str = "bfloat16"            # network compute

@@ -248,6 +248,24 @@ def lookup_level_onehot(volume_level, coords, radius=RADIUS):
 lookup_level_impl = lookup_level_onehot
 
 
+def set_lookup_impl(name):
+    """Select the windowed-lookup implementation globally.
+
+    "onehot" (default): weighted one-hot selector matmuls on the MXU.
+    "pallas": the double-rolled dynamic-rotate Pallas kernel
+    (ops/corr_pallas.py) — hardware TPU only (interpret mode in tests).
+    Call before any jit tracing that should pick up the change.
+    """
+    global lookup_level_impl
+    if name == "onehot":
+        lookup_level_impl = lookup_level_onehot
+    elif name == "pallas":
+        from .corr_pallas import lookup_level_pallas
+        lookup_level_impl = lookup_level_pallas
+    else:
+        raise ValueError(f"unknown lookup impl {name!r}")
+
+
 @partial(jax.jit, static_argnames=("radius",))
 def lookup_pyramid(pyramid, coords, radius=RADIUS):
     """Full pyramid lookup: concat taps of all levels along channels.

@@ -42,13 +42,24 @@ def _lookup_kernel(iy_ref, ix_ref, wx_ref, wy_ref, vol_ref, out_ref, *,
              out[..., ox, oy]).
     """
 
+    h2p, w2p = vol_ref.shape[-2:]
+
     def body(p, _):
         y0 = iy_ref[0, 0, 0, p]
         x0 = ix_ref[0, 0, 0, p]
         dx = wx_ref[0, 0, 0, p]
         dy = wy_ref[0, 0, 0, p]
 
-        patch = vol_ref[0, 0, p, pl.ds(y0, rd + 1), pl.ds(x0, rd + 1)]
+        # Mosaic rejects dynamic slices on the lane dimension; the
+        # hardware-legal form is a DOUBLE DYNAMIC ROTATE (pltpu.roll with
+        # a traced shift) + static slice: rotating by (dim - start)
+        # brings plane[start:start+k] to rows/lanes [0:k].  Starts are
+        # pre-clamped into the zero-pad region, so no rotation wraps
+        # live data into the window.
+        plane = vol_ref[0, 0, p]                      # (h2p, w2p)
+        plane = pltpu.roll(plane, h2p - y0, 0)
+        plane = pltpu.roll(plane, w2p - x0, 1)
+        patch = plane[: rd + 1, : rd + 1].astype(jnp.float32)
         # bilinear combine of the 4 shifted (rd, rd) views; taps indexed
         # [oy, ox] spatially (transposed to x-major outside the kernel)
         taps = (
@@ -79,7 +90,10 @@ def lookup_level_pallas(volume_level, coords, radius=RADIUS):
     L = rd + 1  # pad so clamped far-out windows land fully in zeros
 
     E = B * N
-    vol = volume_level.reshape(E, H, W, h2, w2).astype(jnp.float32)
+    # keep the volume's native dtype (bf16 from the cached-volume
+    # builder) through the pad: halves the per-program DMA; the kernel
+    # widens each patch to f32 before the bilinear combine
+    vol = volume_level.reshape(E, H, W, h2, w2)
     vol = jnp.pad(vol, ((0, 0), (0, 0), (0, 0), (L, L), (L, L)))
     h2p, w2p = h2 + 2 * L, w2 + 2 * L
 

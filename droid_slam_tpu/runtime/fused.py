@@ -529,8 +529,10 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
             if vols is not None:
                 # cached-volume lookup: the expensive volume einsums ran
                 # once per keyframe step, not once per round
+                # late-bound module attribute: set_lookup_impl can route
+                # this to the Pallas kernel (cfg.lookup_impl)
                 corr = jnp.concatenate([
-                    corr_ops.lookup_level_onehot(
+                    corr_ops.lookup_level_impl(
                         v, (coords1 / (2.0 ** l))[None]
                     )[0]
                     for l, v in enumerate(vols)

@@ -34,6 +34,9 @@ class Droid:
             params = self._random_params(seed)
         self.params = params
 
+        if config.lookup_impl != "onehot":
+            from ..ops import corr as _corr
+            _corr.set_lookup_impl(config.lookup_impl)
         self.video = DepthVideo(config)
         self.filter = MotionFilter(self.net, params, self.video,
                                    thresh=config.filter_thresh)

@@ -59,3 +59,31 @@ class TestPallasLookup:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(expect), atol=1e-4, rtol=1e-4
         )
+
+    def test_bf16_volume(self):
+        """The cached-volume builder feeds bf16 volumes; the kernel must
+        accept them (pad in native dtype, widen per patch)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(3)
+        vol32 = jnp.asarray(
+            rng.standard_normal((1, 2, 4, 8, 10, 12)), jnp.float32
+        )
+        coords = jnp.asarray(rng.uniform(0, 11, (1, 2, 4, 8, 2)),
+                             jnp.float32)
+        expect = corr.lookup_level(vol32, coords, radius=3)
+        with pltpu.force_tpu_interpret_mode():
+            got = corr_pallas.lookup_level_pallas(
+                vol32.astype(jnp.bfloat16), coords, radius=3)
+        assert got.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), atol=0.05, rtol=0.05
+        )
+
+    def test_set_lookup_impl_roundtrip(self):
+        corr.set_lookup_impl("pallas")
+        assert corr.lookup_level_impl is corr_pallas.lookup_level_pallas
+        corr.set_lookup_impl("onehot")
+        assert corr.lookup_level_impl is corr.lookup_level_onehot
+        with pytest.raises(ValueError):
+            corr.set_lookup_impl("nope")

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--size", type=int, nargs=2, default=(240, 320))
     ap.add_argument("--cpu", action="store_true",
                     help="smoke-test on the CPU backend")
+    ap.add_argument("--lookup", choices=["onehot", "pallas"],
+                    default="onehot",
+                    help="windowed-lookup implementation to measure")
     args = ap.parse_args()
 
     if args.cpu:
@@ -49,6 +52,9 @@ def main():
     from droid_slam_tpu.models.droidnet import DroidNet
     from droid_slam_tpu.runtime import fused
     from droid_slam_tpu.runtime.state import DepthVideo
+
+    import droid_slam_tpu.ops.corr as _corr
+    _corr.set_lookup_impl(args.lookup)
 
     H, W = args.size
     buf = 96
@@ -168,7 +174,7 @@ def main():
     print(f"no_ba round: {1e3 * per_noba:.2f} ms  "
           f"=> BA in context: {1e3 * (per - per_noba):.2f} ms", flush=True)
 
-    real_lookup = corr_ops.lookup_level_onehot
+    real_lookup = corr_ops.lookup_level_impl
     real_alt = corr_ops.alt_lookup_pyramid
     rd2 = (2 * corr_ops.RADIUS + 1) ** 2
     def fake_lookup(vol, coords, radius=corr_ops.RADIUS):
@@ -177,7 +183,7 @@ def main():
     def fake_alt(f1, f2, coords, **kw):
         N, Hh, Ww = coords.shape[:3]
         return jnp.zeros((N, Hh, Ww, rd2 * len(f2)), jnp.float32)
-    corr_ops.lookup_level_onehot = fake_lookup
+    corr_ops.lookup_level_impl = fake_lookup
     corr_ops.alt_lookup_pyramid = fake_alt
     ur3 = fused.make_update_round(net, cfg, buf, ht, wd, P, K)
     def chain_nolk(k):
@@ -196,7 +202,7 @@ def main():
     t1l = timed(chain_nolk(1))
     tkl = timed(chain_nolk(k))
     per_nolk = (tkl - t1l) / (k - 1)
-    corr_ops.lookup_level_onehot = real_lookup
+    corr_ops.lookup_level_impl = real_lookup
     corr_ops.alt_lookup_pyramid = real_alt
     print(f"no_lookup round: {1e3 * per_nolk:.2f} ms  "
           f"=> corr lookup in context: {1e3 * (per - per_nolk):.2f} ms",
