@@ -58,6 +58,10 @@ def ate_rmse(gt, est, correct_scale=True):
     gt_p = _positions(gt)
     est_p = _positions(est)
     assert len(gt_p) == len(est_p), (len(gt_p), len(est_p))
+    if not np.isfinite(est_p).all():
+        # a diverged run is a (bad) result, not a crash: report inf
+        # rather than letting the alignment SVD blow up mid-benchmark
+        return float("inf")
     s, R, t = umeyama(est_p, gt_p, with_scale=correct_scale)
     est_aligned = (s * (R @ est_p.T)).T + t
     err = np.linalg.norm(est_aligned - gt_p, axis=1)

@@ -610,6 +610,13 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
             iters=cfg.ba_iters, lm=cfg.frontend_lm, ep=cfg.frontend_ep,
             motion_only=False, P=P,
         )
+        # divergence guard (reference-parity robustness: the torch stack
+        # never NaNs because CUDA BA clamps internally; here an
+        # ill-conditioned far-OOD round could emit non-finite values and
+        # poison every later round) — revert the whole round instead
+        ok = jnp.isfinite(jnp.sum(poses)) & jnp.isfinite(jnp.sum(disps))
+        poses = jnp.where(ok, poses, vstate.poses)
+        disps = jnp.where(ok, disps, vstate.disps)
         vstate = vstate.replace(poses=poses, disps=disps)
         gstate = gstate.replace(
             age=jnp.where(active, gstate.age + 1, gstate.age)
