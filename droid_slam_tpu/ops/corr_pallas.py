@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,10 +57,14 @@ def _lookup_kernel(iy_ref, ix_ref, wx_ref, wy_ref, vol_ref, out_ref, *,
         # brings plane[start:start+k] to rows/lanes [0:k].  Starts are
         # pre-clamped into the zero-pad region, so no rotation wraps
         # live data into the window.
-        plane = vol_ref[0, 0, p]                      # (h2p, w2p)
+        # widen BEFORE the rotates: Mosaic's tpu.dynamic_rotate only
+        # implements 32-bit element types ("Rotate with non-32-bit
+        # data"); the HBM->VMEM DMA stays bf16, only the in-register
+        # plane is f32
+        plane = vol_ref[0, 0, p].astype(jnp.float32)  # (h2p, w2p)
         plane = pltpu.roll(plane, h2p - y0, 0)
         plane = pltpu.roll(plane, w2p - x0, 1)
-        patch = plane[: rd + 1, : rd + 1].astype(jnp.float32)
+        patch = plane[: rd + 1, : rd + 1]
         # bilinear combine of the 4 shifted (rd, rd) views; taps indexed
         # [oy, ox] spatially (transposed to x-major outside the kernel)
         taps = (
@@ -92,10 +97,16 @@ def lookup_level_pallas(volume_level, coords, radius=RADIUS):
     E = B * N
     # keep the volume's native dtype (bf16 from the cached-volume
     # builder) through the pad: halves the per-program DMA; the kernel
-    # widens each patch to f32 before the bilinear combine
+    # widens each plane to f32 before the rotates.  Mosaic's
+    # tpu.dynamic_rotate additionally requires tile-aligned operands
+    # ("unsupported unaligned shape"): round the padded plane up to the
+    # (8-sublane, 128-lane) f32 tile; the extra zeros are dead right-pad
+    # the clamped window starts never reach.
     vol = volume_level.reshape(E, H, W, h2, w2)
-    vol = jnp.pad(vol, ((0, 0), (0, 0), (0, 0), (L, L), (L, L)))
-    h2p, w2p = h2 + 2 * L, w2 + 2 * L
+    h2p = int(np.ceil((h2 + 2 * L) / 8) * 8)
+    w2p = int(np.ceil((w2 + 2 * L) / 128) * 128)
+    vol = jnp.pad(vol, ((0, 0), (0, 0), (0, 0),
+                        (L, h2p - h2 - L), (L, w2p - w2 - L)))
 
     c = coords.reshape(E, H, W, 2)
     x0f = jnp.floor(c[..., 0])

@@ -798,8 +798,8 @@ def build_keyframe_step(net_mod, cfg, buf, ht, wd, oracle=None):
                                       oracle=oracle))
 
 
-def build_track_step(net_mod, cfg, buf, H, W, oracle=None):
-    """The fully-fused steady-state per-frame program.
+def make_track_core(net_mod, cfg, buf, H, W, oracle=None):
+    """The fully-fused steady-state per-frame program (un-jitted).
 
     Fuses the motion filter (reference motion_filter.py:45-82), the
     conditional keyframe append (depth_video.py:46-103), and the entire
@@ -882,7 +882,47 @@ def build_track_step(net_mod, cfg, buf, H, W, oracle=None):
             is_kf, kf_branch, skip_branch, vstate, gstate, counter, t1
         )
 
-    return jax.jit(track_step, donate_argnums=(1, 2))
+    return track_step
+
+
+def build_track_step(net_mod, cfg, buf, H, W, oracle=None):
+    """Jitted single-frame streaming program (one dispatch per frame)."""
+    return jax.jit(make_track_core(net_mod, cfg, buf, H, W, oracle=oracle),
+                   donate_argnums=(1, 2))
+
+
+def build_track_chunk(net_mod, cfg, buf, H, W, chunk, oracle=None):
+    """Micro-batched streaming: `chunk` frames per dispatch via lax.scan
+    over the fused per-frame program.
+
+    Per-dispatch overhead (host->device arg marshalling, and ~200 ms of
+    relay round-trip under the axon tunnel) dwarfs the ~170 ms of real
+    device work per keyframe; amortizing it over a chunk of frames is
+    the throughput mode — the same latency/throughput trade the
+    reference makes by queueing frames into its CUDA stream
+    (droid.py:61-72 never synchronizes per frame either).
+    """
+    from ..models.droidnet import normalize_images  # noqa: F401 (parity)
+
+    inner = make_track_core(net_mod, cfg, buf, H, W, oracle=oracle)
+
+    def track_chunk(params, vstate, gstate, counter, t1, images, tstamps,
+                    intr8, disp_sens, filter_thresh):
+        def body(carry, frame):
+            vstate, gstate, counter, t1 = carry
+            image, tstamp = frame
+            vstate, gstate, counter, t1, flags = inner(
+                params, vstate, gstate, counter, t1, image, tstamp,
+                intr8, disp_sens, filter_thresh,
+            )
+            return (vstate, gstate, counter, t1), flags
+
+        (vstate, gstate, counter, t1), flags = jax.lax.scan(
+            body, (vstate, gstate, counter, t1), (images, tstamps)
+        )
+        return vstate, gstate, counter, t1, flags[-1]
+
+    return jax.jit(track_chunk, donate_argnums=(1, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -987,6 +1027,58 @@ class FusedFrontend:
         # near buffer capacity the lazy 16-frame sync cadence could let
         # the device overrun the keyframe buffer unnoticed — tighten to
         # per-frame syncs so the overflow guard sees a fresh counter
+        near_full = (self.video.counter + self._since_sync
+                     >= self.cfg.buffer - 2)
+        if self._since_sync >= 16 or near_full:
+            self.sync()
+
+    def track_frames(self, tstamps, images, intrinsics=None):
+        """Throughput mode: `len(images)` frames in ONE dispatch.
+
+        Per-dispatch overhead dominates the per-frame device work (see
+        build_track_chunk); batching is how a TPU streams a 30 fps feed.
+        RGB-only (no depth); all frames share `intrinsics`.
+        """
+        H, W = self.cfg.image_size
+        B = len(images)
+        if getattr(self, "_chunk_fns", None) is None:
+            self._chunk_fns = {}
+        if B not in self._chunk_fns:
+            self._chunk_fns[B] = build_track_chunk(
+                self.net, self.cfg, self.cfg.buffer, H, W, B,
+                oracle=self.oracle,
+            )
+        if self._counter_dev is None:
+            self._counter_dev = jnp.asarray(self.video.counter, jnp.int32)
+            self._t1_dev = jnp.asarray(self.t1, jnp.int32)
+
+        # pre-dispatch overflow guard: the whole chunk could keyframe
+        if (self.video.counter + self._since_sync + B
+                >= self.cfg.buffer - 2):
+            self.sync()
+            if self.video.counter + B >= self.cfg.buffer - 1:
+                raise RuntimeError(
+                    f"keyframe buffer nearly full "
+                    f"({self.video.counter}+{B}/{self.cfg.buffer}); "
+                    f"increase SLAMConfig.buffer"
+                )
+
+        imgs = jnp.asarray(np.stack([np.asarray(im) for im in images]))
+        if imgs.ndim == 4:
+            imgs = imgs[:, None]                 # (B, rig=1, H, W, 3)
+        disp_sens = jnp.zeros((self.video.fht, self.video.fwd), jnp.float32)
+
+        out = self._chunk_fns[B](
+            self.params, self.video.state, self.gstate,
+            self._counter_dev, self._t1_dev, imgs,
+            jnp.asarray(np.asarray(tstamps, np.float32)),
+            jnp.asarray(intrinsics, jnp.float32) / 8.0, disp_sens,
+            jnp.asarray(self.filter_thresh, jnp.float32),
+        )
+        (self.video.state, self.gstate, self._counter_dev,
+         self._t1_dev, self._last_flags) = out
+
+        self._since_sync += B
         near_full = (self.video.counter + self._since_sync
                      >= self.cfg.buffer - 2)
         if self._since_sync >= 16 or near_full:

@@ -72,6 +72,17 @@ class Droid:
             self.filter.track(tstamp, image, depth, intrinsics)
             self.frontend()
 
+    def track_batch(self, tstamps, images, intrinsics=None):
+        """Throughput-mode ingestion: a chunk of RGB frames per device
+        dispatch (fused.build_track_chunk).  Falls back to per-frame
+        tracking until the fused frontend is initialized."""
+        if self.cfg.fused and self.frontend.is_initialized and \
+                hasattr(self.frontend, "track_frames"):
+            self.frontend.track_frames(tstamps, images, intrinsics)
+        else:
+            for t, im in zip(tstamps, images):
+                self.track(t, im, intrinsics=intrinsics)
+
     def _sync(self):
         if hasattr(self.frontend, "sync"):
             self.frontend.sync()
