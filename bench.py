@@ -62,9 +62,9 @@ def main():
     intr = np.asarray([265.0, 265.0, W / 2, H / 2], np.float32)
 
     n_warm = 40       # init at warmup=8 + enough frames to cross every
-    n_bench = 20      # power-of-2 shape bucket the bench window touches
-                      # (t in [40, 60) stays inside the 64 bucket), so no
-                      # compile lands in the measured interval
+    n_bench = 40      # power-of-2 shape bucket the bench window touches,
+                      # so no compile lands in the measured interval;
+                      # 40 bench frames = 2 chunked dispatches
 
     frames = [synth_frame(t, rng) for t in range(n_warm + n_bench)]
 
@@ -75,7 +75,7 @@ def main():
         # a scalar readback is the only true barrier
         float(np.asarray(droid.video.state.poses[0, 0]))
 
-    CHUNK = 10   # frames per dispatch in throughput mode (track_batch):
+    CHUNK = 20   # frames per dispatch in throughput mode (track_batch):
                  # per-dispatch overhead (~0.2 s through the axon relay)
                  # dwarfs the per-frame device work, so streaming is
                  # micro-batched — the same latency/throughput trade the
@@ -115,7 +115,7 @@ def main():
     # reference's gate threshold for this phase (dynamic arg, no recompile).
     if hasattr(droid.frontend, "filter_thresh"):
         droid.frontend.filter_thresh = 2.4
-    n_rep = 30
+    n_rep = 40
     rep = frames[-1]
     t0 = time.perf_counter()
     for k in range(0, n_rep, CHUNK):
