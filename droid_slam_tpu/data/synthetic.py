@@ -30,8 +30,14 @@ def _texture(rng, size=512):
 
 
 def render_plane_scene(n_frames=12, H=96, W=128, plane_z=2.0, seed=0,
-                       motion_scale=0.04):
-    """Render a camera trajectory viewing the plane z = plane_z.
+                       motion_scale=0.04, focal=0.9, tilt=0.0):
+    """Render a camera trajectory viewing a textured plane.
+
+    The plane passes through (0, 0, plane_z); `tilt` (radians) rotates its
+    normal away from -z about a random in-plane axis, giving slanted
+    geometry with real depth gradients (curriculum diversity — the
+    fronto-parallel default is a degenerate constant-depth case).
+    `focal` sets fx = fy = focal * W.
 
     Returns dict(images (N,H,W,3) uint8 RGB, poses_c2w (N,7),
     depths (N,H,W) f32, intrinsics (N,4)).
@@ -41,9 +47,26 @@ def render_plane_scene(n_frames=12, H=96, W=128, plane_z=2.0, seed=0,
     rng = np.random.default_rng(seed)
     tex = _texture(rng)
     tex_size = tex.shape[0]
-    fx = fy = 0.9 * W
+    fx = fy = focal * W
     cx, cy = W / 2, H / 2
     intr = np.array([fx, fy, cx, cy], np.float32)
+
+    # plane frame: unit normal (towards the camera) + in-plane basis
+    if tilt != 0.0:
+        phi = rng.uniform(0, 2 * np.pi)
+        axis = np.array([np.cos(phi), np.sin(phi), 0.0])
+        # rotate -z by `tilt` about `axis` (Rodrigues)
+        nz = np.array([0.0, 0.0, -1.0])
+        normal = (nz * np.cos(tilt)
+                  + np.cross(axis, nz) * np.sin(tilt)
+                  + axis * np.dot(axis, nz) * (1 - np.cos(tilt)))
+    else:
+        normal = np.array([0.0, 0.0, -1.0])
+    normal = normal / np.linalg.norm(normal)
+    e1 = np.cross(normal, [0.0, 1.0, 0.0])
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(normal, e1)
+    p0 = np.array([0.0, 0.0, plane_z])
 
     # smooth random walk (c2w): mostly lateral translation + small rotation
     steps = motion_scale * rng.standard_normal((n_frames, 6))
@@ -70,14 +93,18 @@ def render_plane_scene(n_frames=12, H=96, W=128, plane_z=2.0, seed=0,
         Rd = np.asarray(so3.act(jnp.asarray(g[3:7]), jnp.asarray(
             dirs.reshape(-1, 3)))).reshape(H, W, 3)
         o = g[:3]
-        t = (plane_z - o[2]) / np.maximum(Rd[..., 2], 1e-6)
+        denom = Rd @ normal
+        t = ((p0 - o) @ normal) / np.where(np.abs(denom) < 1e-6, 1e-6,
+                                           denom)
+        t = np.clip(t, 0.05, 100.0)
         pw = o + t[..., None] * Rd                    # world points
         # dirs has camera-z component 1, so the camera z-depth of the
         # intersection is exactly the ray parameter t
         depth = t
 
-        u = pw[..., 0] * w2t + tex_size / 2
-        v = pw[..., 1] * w2t + tex_size / 2
+        rel = pw - p0
+        u = (rel @ e1) * w2t + tex_size / 2
+        v = (rel @ e2) * w2t + tex_size / 2
         img = cv2.remap(
             tex, u.astype(np.float32), v.astype(np.float32),
             interpolation=cv2.INTER_LINEAR, borderMode=cv2.BORDER_WRAP,
@@ -92,7 +119,7 @@ def render_plane_scene(n_frames=12, H=96, W=128, plane_z=2.0, seed=0,
 
 
 def render_box_scene(n_frames=12, H=96, W=128, seed=0, motion_scale=0.08,
-                     box=(2.5, 1.8, 6.0)):
+                     box=(2.5, 1.8, 6.0), focal=0.9, n_obstacles=0):
     """Render a camera moving inside a textured box — varied depth,
     parallax, occlusion boundaries at wall joints, and larger motions
     than the fronto-parallel plane scene (curriculum for learned-weight
@@ -108,12 +135,12 @@ def render_box_scene(n_frames=12, H=96, W=128, seed=0, motion_scale=0.08,
 
     rng = np.random.default_rng(seed)
     bx, by, bz = box
-    fx = fy = 0.9 * W
+    fx = fy = focal * W
     cx, cy = W / 2, H / 2
     intr = np.array([fx, fy, cx, cy], np.float32)
 
-    # one texture per wall (5 walls: +x, −x, +y, −y, +z)
-    texs = [_texture(rng, 256) for _ in range(5)]
+    # one texture per wall (5 walls: +x, −x, +y, −y, +z) + obstacles
+    texs = [_texture(rng, 256) for _ in range(5 + n_obstacles)]
     tex_size = 256
     w2t = tex_size / 3.0
 
@@ -135,8 +162,32 @@ def render_box_scene(n_frames=12, H=96, W=128, seed=0, motion_scale=0.08,
         [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
     )
 
-    # walls as (axis, offset, texture index)
-    walls = [(0, bx, 0), (0, -bx, 1), (1, by, 2), (1, -by, 3), (2, bz, 4)]
+    # surfaces as (axis, offset, texture index, bounds) — bounds are
+    # ((lo, hi), (lo, hi)) for the two other axes in ascending order
+    lim = {0: bx, 1: by, 2: bz}
+
+    def _wall_bounds(axis):
+        oth = [a for a in range(3) if a != axis]
+        return tuple(
+            ((-1.0 if a == 2 else -lim[a]) - 1e-3, lim[a] + 1e-3)
+            for a in oth
+        )
+
+    walls = [(0, bx, 0, _wall_bounds(0)), (0, -bx, 1, _wall_bounds(0)),
+             (1, by, 2, _wall_bounds(1)), (1, -by, 3, _wall_bounds(1)),
+             (2, bz, 4, _wall_bounds(2))]
+
+    # floating rectangles perpendicular to the view axis, at varied
+    # depths inside the box: occlusion boundaries + near structure the
+    # bare box lacks (curriculum diversity)
+    for k in range(n_obstacles):
+        oz = rng.uniform(1.2, 0.8 * bz)
+        hx = rng.uniform(0.25, 0.75)
+        hy = rng.uniform(0.2, 0.6)
+        ox = rng.uniform(-0.6 * bx, 0.6 * bx)
+        oy = rng.uniform(-0.6 * by, 0.6 * by)
+        walls.append((2, oz, 5 + k,
+                      ((ox - hx, ox + hx), (oy - hy, oy + hy))))
 
     import jax.numpy as jnp
     from ..lie import so3
@@ -150,19 +201,18 @@ def render_box_scene(n_frames=12, H=96, W=128, seed=0, motion_scale=0.08,
 
         best_t = np.full((H, W), 1e6, np.float32)
         img = np.zeros((H, W, 3), np.float32)
-        for axis, off, ti in walls:
+        for axis, off, ti, bounds in walls:
             denom = Rd[..., axis]
             t = (off - o[axis]) / np.where(np.abs(denom) < 1e-6, 1e-6,
                                            denom)
             pw = o + t[..., None] * Rd
             oth = [a for a in range(3) if a != axis]
-            lim = {0: bx, 1: by, 2: bz}
             ok = (
                 (t > 0.1)
-                & (np.abs(pw[..., oth[0]]) <= lim[oth[0]] + 1e-3)
-                & (pw[..., oth[1]] <= lim[oth[1]] + 1e-3)
-                & (pw[..., oth[1]] >= (-lim[oth[1]] if oth[1] != 2
-                                       else -1.0) - 1e-3)
+                & (pw[..., oth[0]] >= bounds[0][0])
+                & (pw[..., oth[0]] <= bounds[0][1])
+                & (pw[..., oth[1]] >= bounds[1][0])
+                & (pw[..., oth[1]] <= bounds[1][1])
                 & (t < best_t)
             )
             u = pw[..., oth[0]] * w2t + tex_size / 2

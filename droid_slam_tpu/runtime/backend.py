@@ -57,6 +57,7 @@ class Backend:
 
         max_factors = 16 * t
         pose_cap = _bucket(t)
+        import jax.numpy as jnp
         graph = self.graph_cls(
             self.video, self.net, self.params, corr_impl="alt",
             max_factors=max_factors,
@@ -65,6 +66,10 @@ class Backend:
             pose_cap=pose_cap, depth_cap=pose_cap,
             degree_cap=64,
             upsample=cfg.upsample,
+            # edge arrays grow lazily to the edges proximity actually
+            # selects; bf16 GRU state halves the dominant store (the
+            # reference holds its net state in fp16, factor_graph.py:84)
+            state_dtype=jnp.bfloat16,
         )
 
         import jax

@@ -50,7 +50,7 @@ class FactorGraph:
     def __init__(self, video, net, params, corr_impl="alt",
                  max_factors=48, edge_cap=None, inac_cap=None,
                  pose_cap=None, depth_cap=None, degree_cap=None,
-                 upsample=False, update_chunk=None):
+                 upsample=False, update_chunk=None, state_dtype=None):
         self.video = video
         self.net = net
         self.params = params
@@ -65,34 +65,69 @@ class FactorGraph:
         self.ba_fn = None
 
         self.E = edge_cap or max(self.cfg.frontend_edge_cap, max_factors + 16)
-        self.I = inac_cap if inac_cap is not None else self.E
+        self.I = inac_cap if inac_cap is not None else min(self.E, 256)
         self.P = pose_cap or self.cfg.frontend_pose_cap
         self.K = depth_cap or self.cfg.frontend_depth_cap
         self.D = degree_cap or self.cfg.schur_degree_cap
         # edges processed per update-operator jit call (memory bound: the
         # on-the-fly level-0 volume is chunk·HW² bf16)
         self.chunk = update_chunk or min(self.E, 64)
+        # GRU-state store dtype: bf16 for large backends (the reference
+        # keeps its net state in fp16 via autocast, factor_graph.py:84)
+        self.state_dtype = state_dtype or jnp.float32
 
         # host-side edge lists; `slots` maps each edge to its device slot
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
         self.slots = np.zeros(0, np.int64)
-        self.free = list(range(self.E))
         self.ii_inac = np.zeros(0, np.int64)
         self.jj_inac = np.zeros(0, np.int64)
         self.ii_bad = np.zeros(0, np.int64)
         self.jj_bad = np.zeros(0, np.int64)
 
+        # device edge state is allocated LAZILY in power-of-two buckets up
+        # to self.E: a 1024-keyframe backend's worst-case cap (16·t edges
+        # × h·w×128 state = tens of GB) must not be materialized when the
+        # proximity policy actually selects ~4 edges/keyframe.  Each growth
+        # doubles capacity => O(log E) reallocations/compiles per session.
+        self.E_alloc = 0
+        self.free = []
         ht, wd = self.ht, self.wd
-        # device edge state, indexed by slot
-        self.net_state = jnp.zeros((self.E, ht, wd, 128), jnp.float32)
-        self.target = jnp.zeros((self.E, ht, wd, 2), jnp.float32)
-        self.weight = jnp.zeros((self.E, ht, wd, 2), jnp.float32)
+        self.net_state = jnp.zeros((0, ht, wd, 128), self.state_dtype)
+        self.target = jnp.zeros((0, ht, wd, 2), jnp.float32)
+        self.weight = jnp.zeros((0, ht, wd, 2), jnp.float32)
+        self._grow(min(self.E, max(self.chunk, 64)))
         self.target_inac = jnp.zeros((self.I, ht, wd, 2), jnp.float32)
         self.weight_inac = jnp.zeros((self.I, ht, wd, 2), jnp.float32)
 
         self._jit_cache = {}
+
+    def _grow(self, need):
+        """Grow the slot-indexed device edge arrays to hold `need` edges
+        (next power-of-two bucket, capped at self.E)."""
+        if need <= self.E_alloc:
+            return
+        new = max(self.E_alloc, 1)
+        while new < need:
+            new *= 2
+        new = min(new, self.E)
+        if new <= self.E_alloc:
+            return
+        ht, wd = self.ht, self.wd
+        pad = new - self.E_alloc
+        self.net_state = jnp.concatenate(
+            [self.net_state, jnp.zeros((pad, ht, wd, 128),
+                                       self.state_dtype)]
+        )
+        self.target = jnp.concatenate(
+            [self.target, jnp.zeros((pad, ht, wd, 2), jnp.float32)]
+        )
+        self.weight = jnp.concatenate(
+            [self.weight, jnp.zeros((pad, ht, wd, 2), jnp.float32)]
+        )
+        self.free.extend(range(self.E_alloc, new))
+        self.E_alloc = new
 
     # ------------------------------------------------------------------
     # host bookkeeping helpers
@@ -103,10 +138,10 @@ class FactorGraph:
         return len(self.ii)
 
     def _edge_arrays(self):
-        """(E,) slot-indexed ii/jj arrays + validity mask."""
-        ii = np.zeros(self.E, np.int32)
-        jj = np.zeros(self.E, np.int32)
-        mask = np.zeros(self.E, bool)
+        """(E_alloc,) slot-indexed ii/jj arrays + validity mask."""
+        ii = np.zeros(self.E_alloc, np.int32)
+        jj = np.zeros(self.E_alloc, np.int32)
+        mask = np.zeros(self.E_alloc, bool)
         ii[self.slots] = self.ii
         jj[self.slots] = self.jj
         mask[self.slots] = True
@@ -140,7 +175,7 @@ class FactorGraph:
         @jax.jit
         def fn(net_state, target, weight, nets_frames, new_target,
                ii_c, slots, valid):
-            new_net = take_rows(nets_frames, ii_c).astype(jnp.float32)
+            new_net = take_rows(nets_frames, ii_c).astype(net_state.dtype)
 
             def body(k, carry):
                 ns, tg, wg = carry
@@ -252,9 +287,9 @@ class FactorGraph:
         fmap_pyr = self.video.fmap_pyramids()
         fn = self._get_jit("update_core", self._build_update_core)
 
-        nchunks = (self.E + self.chunk - 1) // self.chunk
+        nchunks = (self.E_alloc + self.chunk - 1) // self.chunk
         for c in range(nchunks):
-            lo, hi = c * self.chunk, min((c + 1) * self.chunk, self.E)
+            lo, hi = c * self.chunk, min((c + 1) * self.chunk, self.E_alloc)
             pad = self.chunk - (hi - lo)
 
             def padc(x, fill=0):
@@ -285,7 +320,8 @@ class FactorGraph:
             )
             n_real = hi - lo
             self.net_state = jax.lax.dynamic_update_slice_in_dim(
-                self.net_state, net_new[:n_real], lo, axis=0
+                self.net_state,
+                net_new[:n_real].astype(self.net_state.dtype), lo, axis=0,
             )
             self.target = jax.lax.dynamic_update_slice_in_dim(
                 self.target, tgt_new[:n_real], lo, axis=0
@@ -336,6 +372,7 @@ class FactorGraph:
         if len(ii) == 0:
             return
 
+        self._grow(self.n + len(ii))
         slots = np.asarray([self.free.pop() for _ in ii], np.int64)
 
         chunk = 8 * ((len(ii) + 7) // 8)

@@ -580,13 +580,8 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
                 weight=gstate.weight.at[:EA].set(weight_a),
             )
 
-            if cfg.upsample:
-                from ..models.update import upsample_disp
-                up = upsample_disp(vstate.disps, upmask)
-                disps_up = jnp.where(
-                    (cnt > 0)[:, None, None], up, vstate.disps_up
-                )
-                vstate = vstate.replace(disps_up=disps_up)
+            up_cnt = cnt if cfg.upsample else None
+            up_mask = upmask if cfg.upsample else None
 
         # ---- dense BA over active ∪ recent-inactive edges
         #      (factor_graph.py:223-240, use_inactive=True) ----
@@ -621,6 +616,19 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
         gstate = gstate.replace(
             age=jnp.where(active, gstate.age + 1, gstate.age)
         )
+
+        if oracle is None and cfg.upsample:
+            # convex-upsample the POST-BA disparities of this round's
+            # updated frames (the reference upsamples pre-BA estimates,
+            # factor_graph.py:235-240; using the solved disparities keeps
+            # disps_up consistent with disps even when a round's BA moves
+            # them a lot, e.g. onto the 0.001 clamp and back)
+            from ..models.update import upsample_disp
+            up = upsample_disp(vstate.disps, up_mask)
+            disps_up = jnp.where(
+                (up_cnt > 0)[:, None, None], up, vstate.disps_up
+            )
+            vstate = vstate.replace(disps_up=disps_up)
         return vstate, gstate
 
     return update_round
@@ -863,8 +871,10 @@ def make_track_core(net_mod, cfg, buf, H, W, oracle=None):
                 disps_sens=vstate.disps_sens.at[c].set(disp_sens),
                 intrinsics=vstate.intrinsics.at[c].set(intr8),
                 fmaps=vstate.fmaps.at[c].set(fmap.astype(jnp.bfloat16)),
-                nets=vstate.nets.at[c].set(netc),
-                inps=vstate.inps.at[c].set(inpc),
+                nets=vstate.nets.at[c].set(
+                    netc.astype(vstate.nets.dtype)),
+                inps=vstate.inps.at[c].set(
+                    inpc.astype(vstate.inps.dtype)),
             )
             counter = counter + 1
             t1n = t1 + 1

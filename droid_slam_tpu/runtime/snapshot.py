@@ -118,9 +118,11 @@ def load_session(path, droid):
         g.jj_inac = data["graph_jj_inac"]
         g.ii_bad = data["graph_ii_bad"]
         g.jj_bad = data["graph_jj_bad"]
-        g.net_state = jnp.asarray(data["graph_net_state"])
+        g.net_state = jnp.asarray(data["graph_net_state"]).astype(
+            g.state_dtype)
         g.target = jnp.asarray(data["graph_target"])
         g.weight = jnp.asarray(data["graph_weight"])
+        g.E_alloc = int(g.net_state.shape[0])   # lazy-growth watermark
         g.target_inac = jnp.asarray(data["graph_target_inac"])
         g.weight_inac = jnp.asarray(data["graph_weight_inac"])
         droid.frontend.t1 = int(data["frontend_t1"])

@@ -44,18 +44,22 @@ class VideoState:
     poses: jnp.ndarray         # (BUF, 7) f32, w2c
     disps: jnp.ndarray         # (BUF, h, w) f32, init 1
     disps_sens: jnp.ndarray    # (BUF, h, w) f32
-    disps_up: jnp.ndarray      # (BUF, H, W) f32
+    disps_up: jnp.ndarray      # (BUF, H, W) f32 ((1,H,W) when upsample off)
     intrinsics: jnp.ndarray    # (BUF, 4) f32 at 1/8 resolution
     fmaps: jnp.ndarray         # (BUF, rig, h, w, 128) bf16
-    nets: jnp.ndarray          # (BUF, h, w, 128) f32
-    inps: jnp.ndarray          # (BUF, h, w, 128) f32
+    nets: jnp.ndarray          # (BUF, h, w, 128) f16 (ref fp16,
+    inps: jnp.ndarray          # (BUF, h, w, 128) f16  depth_video.py:36-38)
     damping: jnp.ndarray       # (BUF, h, w) f32 (factor_graph.damping)
 
 
-def init_state(buffer, image_size, stereo=False):
+def init_state(buffer, image_size, stereo=False, upsample=True):
     H, W = image_size
     h, w = H // 8, W // 8
     rig = 2 if stereo else 1
+    # disps_up is only populated by the convex-upsample path; when it is
+    # disabled (e.g. 1024-keyframe 384×512 backends) the full (BUF,H,W)
+    # f32 buffer would waste 1.6 GB of HBM — keep a 1-row placeholder
+    up_rows = buffer if upsample else 1
     return VideoState(
         tstamp=jnp.zeros((buffer,), jnp.float32),
         images=jnp.zeros((buffer, H, W, 3), jnp.uint8),
@@ -64,11 +68,15 @@ def init_state(buffer, image_size, stereo=False):
         ),
         disps=jnp.ones((buffer, h, w), jnp.float32),
         disps_sens=jnp.zeros((buffer, h, w), jnp.float32),
-        disps_up=jnp.zeros((buffer, H, W), jnp.float32),
+        disps_up=jnp.zeros((up_rows, H, W), jnp.float32),
         intrinsics=jnp.zeros((buffer, 4), jnp.float32),
         fmaps=jnp.zeros((buffer, rig, h, w, 128), jnp.bfloat16),
-        nets=jnp.zeros((buffer, h, w, 128), jnp.float32),
-        inps=jnp.zeros((buffer, h, w, 128), jnp.float32),
+        # f16 context/GRU-seed buffers, matching the reference's fp16
+        # feature stores exactly (depth_video.py:36-38); readers promote
+        # to f32.  NOT bf16: these tanh/relu-bounded activations need
+        # f16's 3 extra mantissa bits (bf16 measurably perturbs the GRU)
+        nets=jnp.zeros((buffer, h, w, 128), jnp.float16),
+        inps=jnp.zeros((buffer, h, w, 128), jnp.float16),
         damping=1e-6 * jnp.ones((buffer, h, w), jnp.float32),
     )
 
@@ -83,9 +91,9 @@ def _append(state, idx, tstamp, image, pose, disp, disp_sens, intr,
         disps=state.disps.at[idx].set(disp),
         disps_sens=state.disps_sens.at[idx].set(disp_sens),
         intrinsics=state.intrinsics.at[idx].set(intr),
-        fmaps=state.fmaps.at[idx].set(fmap),
-        nets=state.nets.at[idx].set(net),
-        inps=state.inps.at[idx].set(inp),
+        fmaps=state.fmaps.at[idx].set(fmap.astype(state.fmaps.dtype)),
+        nets=state.nets.at[idx].set(net.astype(state.nets.dtype)),
+        inps=state.inps.at[idx].set(inp.astype(state.inps.dtype)),
     )
 
 
@@ -158,7 +166,8 @@ class DepthVideo:
         self.counter = 0
         self.ready = False
         self.state = init_state(config.buffer, config.image_size,
-                                config.stereo)
+                                config.stereo,
+                                upsample=getattr(config, "upsample", True))
         self.ht, self.wd = config.image_size
         self.fht, self.fwd = self.ht // 8, self.wd // 8
 

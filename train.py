@@ -88,7 +88,7 @@ def _synthetic_dataset(cfg):
     )
 
     class Synthetic:
-        def __init__(self, n_scenes=64):
+        def __init__(self, n_scenes=96):
             H, W = cfg.image_size
             # longer sequences than the training window => many distinct
             # window starts per scene (generalization needs graph/window
@@ -96,34 +96,77 @@ def _synthetic_dataset(cfg):
             T = max(16, cfg.n_frames + 2)
             self.scenes = []
             for s in range(n_scenes):
-                motion = [0.04, 0.08, 0.12, 0.16][s % 4]
-                if s % 4 < 3:
+                # scene seeds 1000+ keep the eval/test seeds (<100,
+                # eval_synthetic.py / test_learned_tracking.py) genuinely
+                # held out — trajectories and textures derive from the rng
+                # stream, so a shared seed would share the trajectory
+                seed = 1000 + s
+                motion = [0.04, 0.08, 0.12, 0.16, 0.20][s % 5]
+                focal = [0.75, 0.9, 1.1][s % 3]
+                fam = s % 6
+                if fam <= 1:            # plain box interiors
                     self.scenes.append(render_box_scene(
-                        T, H, W, seed=s,
-                        motion_scale=motion,
+                        T, H, W, seed=seed, motion_scale=motion,
+                        focal=focal,
                         box=(2.0 + (s % 5) * 0.4, 1.5 + (s % 3) * 0.3,
                              5.0 + (s % 4)),
                     ))
-                else:
+                elif fam == 2:          # box + floating occluders
+                    self.scenes.append(render_box_scene(
+                        T, H, W, seed=seed, motion_scale=motion,
+                        focal=focal, n_obstacles=1 + (s % 3),
+                        box=(2.2 + (s % 4) * 0.4, 1.6 + (s % 2) * 0.3,
+                             5.0 + (s % 3)),
+                    ))
+                elif fam == 3:          # corridor: narrow, deep box
+                    self.scenes.append(render_box_scene(
+                        T, H, W, seed=seed, motion_scale=motion,
+                        focal=focal,
+                        box=(1.0 + (s % 2) * 0.3, 1.1, 8.0 + 2 * (s % 3)),
+                    ))
+                elif fam == 4:          # fronto-parallel plane
                     self.scenes.append(render_plane_scene(
-                        T, H, W, seed=s,
-                        motion_scale=motion,
+                        T, H, W, seed=seed, motion_scale=motion,
+                        focal=focal,
+                    ))
+                else:                   # slanted plane (depth gradient)
+                    self.scenes.append(render_plane_scene(
+                        T, H, W, seed=seed, motion_scale=motion,
+                        focal=focal, tilt=0.3 + 0.2 * (s % 2),
                     ))
 
         def sample_batches(self, batch_size, rng=None, shuffle=True):
             rs = np.random.default_rng(0)
             N = cfg.n_frames
+            H, W = cfg.image_size
+            # scale diversity: a share of batches are random 8-aligned
+            # crops at the next size down (the reference's random-scale
+            # augmentation, augmentation.py); jit re-traces once per shape
+            ch, cw = max(64, H - 32), max(96, W - 32)
+            do_crop = (ch, cw) != (H, W)
             while True:
+                crop = do_crop and rs.random() < 0.4
+                if crop:
+                    y0 = 8 * rs.integers(0, (H - ch) // 8 + 1)
+                    x0 = 8 * rs.integers(0, (W - cw) // 8 + 1)
                 items = []
                 for _ in range(batch_size):
                     sc = self.scenes[rs.integers(len(self.scenes))]
                     s0 = rs.integers(sc["images"].shape[0] - N + 1)
+                    img = sc["images"][s0:s0 + N].astype(np.float32)
+                    dsp = (1.0 / sc["depths"][s0:s0 + N]).astype(
+                        np.float32)
+                    intr = sc["intrinsics"][s0:s0 + N].copy()
+                    if crop:
+                        img = img[:, y0:y0 + ch, x0:x0 + cw]
+                        dsp = dsp[:, y0:y0 + ch, x0:x0 + cw]
+                        intr[:, 2] -= x0
+                        intr[:, 3] -= y0
                     items.append(dict(
-                        images=sc["images"][s0:s0 + N].astype(np.float32),
+                        images=img,
                         poses=sc["poses_c2w"][s0:s0 + N],
-                        disps=(1.0 / sc["depths"][s0:s0 + N]).astype(
-                            np.float32),
-                        intrinsics=sc["intrinsics"][s0:s0 + N],
+                        disps=dsp,
+                        intrinsics=intr,
                     ))
                 yield {
                     k: np.stack([it[k] for it in items]) for k in items[0]
