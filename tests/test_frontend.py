@@ -135,3 +135,62 @@ class TestFrontendPipeline:
         assert (g.ii != 3).all() or True  # frame 3 is now old frame 4
         assert g.ii.max() <= 3
         np.testing.assert_allclose(float(video.state.tstamp[3]), tstamp_4)
+
+
+class TestLazyEdgeCapacity:
+    """The slot-indexed device edge arrays grow lazily in power-of-two
+    buckets (backend-scale memory fix: a 16t worst-case cap must never be
+    materialized up front)."""
+
+    def _graph(self, setup, **kw):
+        cfg, net, params = setup
+        video = DepthVideo(cfg)
+        filt = MotionFilter(net, params, video, thresh=0.0)
+        rng = np.random.default_rng(5)
+        intr = np.asarray([80.0, 80.0, W / 2, H / 2], np.float32)
+        for t in range(12):
+            filt.track(t, synth_frame(t, rng), intrinsics=intr)
+        from droid_slam_tpu.runtime.factor_graph import FactorGraph
+        return video, FactorGraph(video, net, params, **kw)
+
+    def test_growth_preserves_state(self, setup):
+        video, g = self._graph(
+            setup, max_factors=0, edge_cap=512, update_chunk=16,
+        )
+        assert g.E_alloc == 64          # initial bucket, not edge_cap
+        g.add_neighborhood_factors(0, 6, r=2)   # 18 edges
+        n0 = g.n
+        assert g.E_alloc == 64
+        tgt0 = np.asarray(g.target)[np.asarray(g.slots)]
+
+        # exceed the 64-slot bucket -> one doubling, old rows intact
+        g.add_neighborhood_factors(0, 12, r=4)
+        assert g.n > 64 or g.E_alloc == 64
+        if g.n > 64:
+            assert g.E_alloc == 128
+        assert g.net_state.shape[0] == g.E_alloc
+        assert g.target.shape[0] == g.E_alloc
+        tgt1 = np.asarray(g.target)[np.asarray(g.slots[:n0])]
+        np.testing.assert_allclose(tgt1, tgt0, rtol=0, atol=0)
+
+        # free list + slots stay a partition of [0, E_alloc)
+        used = set(int(s) for s in g.slots)
+        free = set(g.free)
+        assert used | free == set(range(g.E_alloc))
+        assert not (used & free)
+
+        # update + BA run at the grown capacity
+        g.update(1)
+        assert np.all(np.isfinite(np.asarray(video.state.poses[:12])))
+
+    def test_bf16_state_dtype(self, setup):
+        import jax.numpy as jnp
+
+        video, g = self._graph(
+            setup, max_factors=48, state_dtype=jnp.bfloat16,
+        )
+        g.add_neighborhood_factors(0, 8, r=2)
+        assert g.net_state.dtype == jnp.bfloat16
+        g.update(1)
+        assert g.net_state.dtype == jnp.bfloat16
+        assert np.all(np.isfinite(np.asarray(g.target)))
