@@ -44,7 +44,16 @@ def main():
     p.add_argument("--compare", action="store_true",
                    help="also run random-init on the same scenes and "
                         "report the learned/random ATE ratio")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (safe to run while a "
+                        "training job holds the TPU; the axon hook "
+                        "ignores JAX_PLATFORMS, so this flag is the only "
+                        "reliable off-chip switch)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
