@@ -36,6 +36,18 @@ def synth_frame(t, rng):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pose_cap", type=int, default=None,
+                    help="frontend BA pose-window capacity override "
+                         "(perf experiment; default SLAMConfig value)")
+    ap.add_argument("--depth_cap", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=20,
+                    help="frames per streaming dispatch")
+    ap.add_argument("--buffer", type=int, default=96)
+    args = ap.parse_args()
+
     import jax
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
@@ -47,8 +59,14 @@ def main():
     from droid_slam_tpu.runtime.state import DepthVideo
     from droid_slam_tpu.runtime.slam import Droid
 
+    overrides = {}
+    if args.pose_cap:
+        overrides["frontend_pose_cap"] = args.pose_cap
+    if args.depth_cap:
+        overrides["frontend_depth_cap"] = args.depth_cap
     cfg = SLAMConfig(
-        image_size=(H, W), buffer=96, warmup=8, filter_thresh=0.0,
+        image_size=(H, W), buffer=args.buffer, warmup=8, filter_thresh=0.0,
+        **overrides,
     )
     # trained weights (committed npz) make the motion-filter gate
     # meaningful for the input-fps phase; random init never rejects
@@ -65,6 +83,8 @@ def main():
     n_bench = 40      # power-of-2 shape bucket the bench window touches,
                       # so no compile lands in the measured interval;
                       # 40 bench frames = 2 chunked dispatches
+    # round the bench window up to whole dispatch chunks
+    n_bench = ((n_bench + args.chunk - 1) // args.chunk) * args.chunk
 
     frames = [synth_frame(t, rng) for t in range(n_warm + n_bench)]
 
@@ -75,7 +95,7 @@ def main():
         # a scalar readback is the only true barrier
         float(np.asarray(droid.video.state.poses[0, 0]))
 
-    CHUNK = 20   # frames per dispatch in throughput mode (track_batch):
+    CHUNK = args.chunk   # frames/dispatch in throughput mode (track_batch):
                  # per-dispatch overhead (~0.2 s through the axon relay)
                  # dwarfs the per-frame device work, so streaming is
                  # micro-batched — the same latency/throughput trade the
@@ -115,7 +135,7 @@ def main():
     # reference's gate threshold for this phase (dynamic arg, no recompile).
     if hasattr(droid.frontend, "filter_thresh"):
         droid.frontend.filter_thresh = 2.4
-    n_rep = 40
+    n_rep = ((40 + CHUNK - 1) // CHUNK) * CHUNK
     rep = frames[-1]
     t0 = time.perf_counter()
     for k in range(0, n_rep, CHUNK):

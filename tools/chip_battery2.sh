@@ -1,0 +1,34 @@
+#!/bin/bash
+# TPU chip window battery #2 (run when training releases the chip).
+# Logs to runs/chip2/.  Order: cheapest/highest-signal first.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p runs/chip2
+L=runs/chip2
+
+echo "=== 1. bench (regression check after f16/bf16 state + lazy caps) ==="
+timeout 2400 python bench.py 2>$L/bench.stderr | tee $L/bench.json
+tail -30 $L/bench.stderr
+
+echo "=== 2. bench: pose_cap=32 ablation (Cholesky 384^2 -> 192^2) ==="
+timeout 2400 python bench.py --pose_cap 32 --depth_cap 32 \
+    2>$L/bench_p32.stderr | tee $L/bench_p32.json
+tail -8 $L/bench_p32.stderr
+
+echo "=== 3. bench: chunk=40 dispatch amortization ==="
+timeout 2400 python bench.py --chunk 40 2>$L/bench_c40.stderr \
+    | tee $L/bench_c40.json
+
+echo "=== 4. profiler trace of the streaming chunk program ==="
+timeout 1800 python tools/profile_chunk.py --logdir runs/chip2/trace \
+    2>&1 | tee $L/profile.log
+
+echo "=== 5. backend scale: 512 keyframes @ 384x512 ==="
+timeout 3000 python tools/validate_backend_scale.py --n_kf 512 2>&1 \
+    | tee $L/backend_512.log
+
+echo "=== 6. backend scale: 1000 keyframes @ 384x512 ==="
+timeout 3600 python tools/validate_backend_scale.py --n_kf 1000 --steps 4 \
+    2>&1 | tee $L/backend_1000.log
+
+echo "battery2 done"
