@@ -70,7 +70,7 @@ def test_learned_beats_random_init():
     # the trained update operator must carry real signal: strictly
     # better than random weights on a scene family it never saw, by a
     # margin well beyond run-to-run noise (measured margin at the
-    # shipped 95k-step checkpoint: 0.136 vs 0.219 m — ratio 1.61x)
-    assert ate_learned < 0.8 * ate_random, (ate_learned, ate_random)
+    # shipped 105k-step checkpoint: 0.102 vs 0.219 m — ratio 2.15x)
+    assert ate_learned < 0.65 * ate_random, (ate_learned, ate_random)
     # and absolutely bounded: random init drifts past 0.22 m here
-    assert ate_learned < 0.18, ate_learned
+    assert ate_learned < 0.15, ate_learned
