@@ -240,14 +240,33 @@ class DepthVideo:
         )
         return coords[0], valid[0]
 
+    # pairs per frame_distance dispatch: each pair materializes an
+    # (h, w, 2) flow field, so an unchunked 1000-keyframe proximity query
+    # (t² = 1e6 pairs × 48×64 grids) would need ~25 GB of transients.
+    # 16384 pairs × 3072 px × 2 × 4 B ≈ 0.4 GB per dispatch.
+    DISTANCE_CHUNK = 16384
+
     def distance(self, ii, jj, beta=0.3, bidirectional=True):
         # pad queries to power-of-2 buckets: the frontend's candidate set
         # grows every keyframe, and an exact-shape jit would recompile
         # frame_distance once per frame (the dominant cost on remote-compile
-        # TPU setups)
+        # TPU setups).  Queries beyond DISTANCE_CHUNK run as host-chunked
+        # fixed-shape dispatches (backend global proximity at 512-1024
+        # keyframes; reference computes the same t² matrix in CUDA chunks,
+        # depth_video.py:149-179).
         ii = np.asarray(ii, np.int32).reshape(-1)
         jj = np.asarray(jj, np.int32).reshape(-1)
         n = len(ii)
+        if n > self.DISTANCE_CHUNK:
+            out = np.empty(n, np.float32)
+            c = self.DISTANCE_CHUNK
+            for lo in range(0, n, c):
+                hi = min(lo + c, n)
+                out[lo:hi] = np.asarray(
+                    self.distance(ii[lo:hi], jj[lo:hi], beta=beta,
+                                  bidirectional=bidirectional)
+                )
+            return out
         cap = 16
         while cap < n:
             cap *= 2
@@ -269,10 +288,13 @@ class DepthVideo:
         return d[:n]
 
     def distance_matrix(self, beta=0.3):
-        return np.asarray(distance.distance_matrix(
-            self.state.poses, self.state.disps, self.state.intrinsics[0],
-            self.counter, beta,
-        ))
+        """(t, t) bidirectional distance matrix, chunked through
+        `distance` so large maps never materialize t²·h·w flows."""
+        t = self.counter
+        ii, jj = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")
+        d = self.distance(ii.reshape(-1), jj.reshape(-1), beta=beta,
+                          bidirectional=True)
+        return np.asarray(d).reshape(t, t)
 
     def ba(self, target, weight, eta, ii, jj, edge_mask, t0, t1,
            itrs=2, lm=1e-4, ep=0.1, motion_only=False,
