@@ -30,7 +30,15 @@ def main():
     p.add_argument("--steps", type=int, default=8,
                    help="update_lowmem sweeps (reference terminate: 12)")
     p.add_argument("--weights", default=None, help="npz weights")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (structural validation of "
+                        "the lazy-capacity/chunked paths at reduced "
+                        "scale; real HBM numbers need the chip)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
