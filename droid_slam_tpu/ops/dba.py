@@ -156,6 +156,52 @@ def _linearize(poses, disps, intrinsics, target, weight, ii, jj, edge_mask):
     return Hblk, v, Eii, Eij, Cii, wi
 
 
+# edges per linearization dispatch in the chunked path: the (E, 2·HW, 12)
+# Jacobian transients at a 1000-keyframe backend (E ≈ 4096, HW = 3072)
+# would otherwise peak at ~4 GB; 512-edge chunks keep them ~0.5 GB
+LIN_CHUNK = 512
+
+
+def _linearize_chunked(poses, disps, intrinsics, target, weight, ii, jj,
+                       edge_mask, chunk=LIN_CHUNK):
+    """_linearize via lax.scan over edge chunks (same outputs).
+
+    Used when E > chunk: per-edge OUTPUT blocks (Hblk, Eii/Eij, ...) are
+    unavoidable, but the much larger weighted-Jacobian intermediates live
+    only per chunk.  E is already a power-of-two bucket, so `chunk`
+    divides it for every capacity this path sees; a remainder is padded.
+    """
+    E = ii.shape[0]
+    nch = (E + chunk - 1) // chunk
+    Ep = nch * chunk
+
+    def pad(x, fill=0):
+        if Ep == E:
+            return x
+        w = [(0, Ep - E)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, w, constant_values=fill)
+
+    tgt = pad(target)
+    wgt = pad(weight)
+    ii_p = pad(ii)
+    jj_p = pad(jj)
+    m_p = pad(edge_mask)
+
+    def body(_, c):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk)
+        out = _linearize(
+            poses, disps, intrinsics, sl(tgt), sl(wgt),
+            sl(ii_p), sl(jj_p), sl(m_p),
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, jnp.arange(nch))
+    # (nch, chunk, ...) -> (E, ...)
+    return tuple(
+        o.reshape((Ep,) + o.shape[2:])[:E] for o in outs
+    )
+
+
 def _pose_system(Hblk, v, ii, jj, t0, P, edge_mask):
     """Dense pose window via selector contraction (no scatter)."""
     pi = ii - t0
@@ -202,7 +248,8 @@ def ba(
     def iteration(carry, _):
         poses, disps = carry
 
-        Hblk, v, Eii, Eij, Cii, wi = _linearize(
+        lin = _linearize if E <= LIN_CHUNK else _linearize_chunked
+        Hblk, v, Eii, Eij, Cii, wi = lin(
             poses, disps, intrinsics, target, weight, ii, jj, edge_mask
         )
         H, vd, Pj = _pose_system(Hblk, v, ii, jj, t0, P, edge_mask)

@@ -181,3 +181,50 @@ class TestInferenceBA:
             se3.log(se3.mul(p[:T], se3.inv(jnp.asarray(poses_gt[:T]))))
         )
         assert np.abs(err).max() < 5e-3
+
+
+class TestChunkedLinearize:
+    def test_chunked_matches_direct(self, monkeypatch):
+        """The edge-chunked linearization path (used when E > LIN_CHUNK,
+        i.e. large global-BA graphs) must produce the same BA result as
+        the direct path."""
+        import jax
+
+        rng = np.random.default_rng(7)
+        poses_gt, disps_gt, intr, ii, jj, target, weight, mask, T, BUF = \
+            make_problem(rng)
+        ht, wd = disps_gt.shape[-2:]
+        noise = 0.02 * rng.standard_normal((BUF, 6)).astype(np.float32)
+        noise[:2] = 0
+        poses = np.asarray(se3.retr(jnp.asarray(poses_gt),
+                                    jnp.asarray(noise)))
+        disps = np.ones_like(disps_gt)
+        t0, t1 = 2, T
+        K, D = 16, 24
+        kx, kmask, table = dba.build_schur_tables(ii, mask, t0, t1, K, D)
+        eta = 1e-4 * np.ones((BUF, ht, wd), np.float32)
+
+        args = (
+            jnp.asarray(poses), jnp.asarray(disps),
+            jnp.zeros_like(jnp.asarray(disps)), jnp.asarray(intr),
+            jnp.asarray(target), jnp.asarray(weight), jnp.asarray(eta),
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(mask),
+            jnp.asarray(kx), jnp.asarray(kmask), jnp.asarray(table),
+            t0, t1,
+        )
+        p_direct, d_direct = dba.ba(*args, iters=2, P=16)
+
+        # force the chunked path (E_cap=48 edges, chunk=16 -> 3 chunks;
+        # also exercises the non-dividing remainder with chunk=20)
+        for chunk in (16, 20):
+            monkeypatch.setattr(dba, "LIN_CHUNK", chunk)
+            jax.clear_caches()   # drop the cached trace of dba.ba
+            p_c, d_c = dba.ba(*args, iters=2, P=16)
+            np.testing.assert_allclose(np.asarray(p_c),
+                                       np.asarray(p_direct),
+                                       rtol=0, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(d_c),
+                                       np.asarray(d_direct),
+                                       rtol=0, atol=2e-5)
+        monkeypatch.undo()
+        jax.clear_caches()
