@@ -98,6 +98,50 @@ def build_schur_tables(ii, edge_mask, t0, t1, K, D):
     return kx, kmask, table
 
 
+def build_compact_pose_tables(ii, jj, edge_mask, kx, kmask, t0, t1,
+                              CK, P):
+    """Host-side local pose tables for the compact Schur path.
+
+    For each chunk of CK consecutive depth frames, list the pose slots
+    the chunk's edges actually couple to (their jj targets plus the
+    frames themselves, restricted to the optimized window [t0, t1)).
+    SLAM covisibility graphs are temporally local, so this list is far
+    smaller than the full pose window P at 512–1024-keyframe scale —
+    the compact path contracts E·CK·Dp instead of E·CK·P.
+
+    Returns (loc (nchunks, Dp) int32 pose-slot ids in [0, P), padded 0;
+    loc_valid (nchunks, Dp) bool; Dp) — Dp is the bucketed max local
+    pose count.
+    """
+    ii = np.asarray(ii)
+    jj = np.asarray(jj)
+    edge_mask = np.asarray(edge_mask)
+    kx = np.asarray(kx)
+    kmask = np.asarray(kmask)
+    K = len(kx)
+    nch = (K + CK - 1) // CK
+
+    locs = []
+    for c in range(nch):
+        fr = kx[c * CK: (c + 1) * CK][kmask[c * CK: (c + 1) * CK]]
+        e = edge_mask & np.isin(ii, fr)
+        cand = np.concatenate([jj[e], fr])
+        cand = cand[(cand >= t0) & (cand < t1)]
+        locs.append(np.unique(cand) - t0)
+
+    need = max((len(l) for l in locs), default=1)
+    Dp = int(np.ceil(max(need, 1) / 32) * 32)
+    Dp = min(Dp, P)
+    loc = np.zeros((nch, Dp), np.int32)
+    val = np.zeros((nch, Dp), bool)
+    for c, l in enumerate(locs):
+        if len(l) > Dp:     # degenerate (global) connectivity: caller
+            return None     # falls back to the dense-P path
+        loc[c, : len(l)] = l
+        val[c, : len(l)] = True
+    return loc, val, Dp
+
+
 def _onehot(idx, n, mask=None, dtype=jnp.float32):
     """(len(idx), n) 0/1 selector; masked / out-of-range rows are zero."""
     sel = (
@@ -221,12 +265,21 @@ def ba(
     poses, disps, disps_sens, intrinsics, target, weight, eta,
     ii, jj, edge_mask, kx, kmask, edge_table, t0, t1,
     *, iters=2, lm=1e-4, ep=0.1, motion_only=False, P=64, schur_chunk=None,
+    loc_pose=None, loc_valid=None,
 ):
     """Run `iters` damped Gauss-Newton iterations; returns (poses, disps).
 
     Args: see module docstring; all index plumbing is handled with
     selector matmuls.  edge_table is unused by the solver (kept for API
     stability).
+
+    loc_pose/loc_valid ((nchunks, Dp), from build_compact_pose_tables):
+    enables the compact Schur path — each depth-frame chunk couples to
+    its Dp-entry LOCAL pose table instead of the full P-slot window, and
+    the small (Dp·6)² system scatters into the global one afterwards.
+    At 1000-keyframe backends this cuts the selector contraction from
+    E·CK·P·6·HW to E·CK·Dp·6·HW (~P/Dp ≈ 8-16x) and the dominant
+    E·Q·Eᵀ outer product similarly.
     """
     ht, wd = disps.shape[-2:]
     HW = ht * wd
@@ -234,8 +287,15 @@ def ba(
     K = kx.shape[0]
     buf = poses.shape[0]
 
+    compact = loc_pose is not None
     CK = schur_chunk or max(1, min(32, 4096 // max(P, 1)))
     nchunks = (K + CK - 1) // CK
+    if compact:
+        # chunk boundaries must match the host-built local tables
+        assert schur_chunk is not None and loc_pose.shape[0] == nchunks, (
+            "compact tables require the same schur_chunk they were "
+            "built with (build_compact_pose_tables)"
+        )
     Kpad = nchunks * CK
 
     kx_pad = jnp.concatenate(
@@ -292,17 +352,81 @@ def ba(
                 Q_c = jnp.where(km_c[:, None], 1.0 / C_c, 0.0)
                 return E_dense, Q_c, w_c
 
-            def schur_step(carry, c):
-                S, vs = carry
-                E_dense, Q_c, w_c = chunk_E_dense(c)
-                S_c = jnp.einsum(
-                    "cpah,cqbh->paqb", E_dense * Q_c[:, None, None, :],
-                    E_dense, precision=_HIGH,
+            def chunk_E_compact(c):
+                """Local coupling block (CK, Dp, 6, HW) + scatter map
+                G (Dp, P) for chunk c — the compact-Schur data."""
+                kx_c = jax.lax.dynamic_slice(kx_pad, (c * CK,), (CK,))
+                km_c = jax.lax.dynamic_slice(kmask_pad, (c * CK,), (CK,))
+                Dp = loc_pose.shape[1]
+                Lc = jax.lax.dynamic_slice(loc_pose, (c, 0), (1, Dp))[0]
+                Lv = jax.lax.dynamic_slice(loc_valid, (c, 0), (1, Dp))[0]
+                M = (
+                    (ii[:, None] == kx_c[None, :])
+                    & edge_mask[:, None] & km_c[None, :]
+                ).astype(jnp.float32)
+                # edge target jj -> local pose slot (E, Dp)
+                pj = jj - t0
+                Pj_loc = (
+                    (pj[:, None] == Lc[None, :]) & Lv[None, :]
+                    & ((pj >= 0) & (pj < P))[:, None]
+                ).astype(jnp.float32)
+                S2 = M[:, :, None] * Pj_loc[:, None, :]     # (E, CK, Dp)
+                E_loc = jnp.einsum(
+                    "eah,ecd->cdah", Eij, S2, precision=_HIGH
                 )
-                v_c = jnp.einsum(
-                    "cpah,ch->pa", E_dense, Q_c * w_c, precision=_HIGH
+                E_self = jnp.einsum("ec,eah->cah", M, Eii, precision=_HIGH)
+                pk = kx_c - t0
+                Pk_loc = (
+                    (pk[:, None] == Lc[None, :]) & Lv[None, :]
+                    & ((pk >= 0) & (pk < P))[:, None] & km_c[:, None]
+                ).astype(jnp.float32)
+                E_loc = E_loc + jnp.einsum(
+                    "cah,cd->cdah", E_self, Pk_loc, precision=_HIGH
                 )
-                return (S + S_c, vs + v_c), None
+                C_c = jnp.einsum("ec,eh->ch", M, Cii, precision=_HIGH)
+                w_c = jnp.einsum("ec,eh->ch", M, wi, precision=_HIGH)
+                sl = (jnp.arange(CK) + c * CK).clip(0, K - 1)
+                ms = m_sens[sl]
+                C_c = C_c + ms * ALPHA + (1.0 - ms) * eta_k[sl]
+                w_c = w_c - ms * ALPHA * (dk[sl] - dsk[sl])
+                Q_c = jnp.where(km_c[:, None], 1.0 / C_c, 0.0)
+                # local -> global pose scatter (one-hot, shared by the
+                # whole chunk)
+                G = _onehot(Lc, P, Lv)
+                return E_loc, Q_c, w_c, G
+
+            if compact:
+                def schur_step(carry, c):
+                    S, vs = carry
+                    E_loc, Q_c, w_c, G = chunk_E_compact(c)
+                    # (Dp·6)² local Schur block, summed over the chunk's
+                    # frames (they share G), then scattered into (P·6)²
+                    S_loc = jnp.einsum(
+                        "cdah,cfbh->dafb",
+                        E_loc * Q_c[:, None, None, :], E_loc,
+                        precision=_HIGH,
+                    )
+                    T1 = jnp.einsum("dafb,dp->pafb", S_loc, G,
+                                    precision=_HIGH)
+                    S_c = jnp.einsum("pafb,fq->paqb", T1, G,
+                                     precision=_HIGH)
+                    v_loc = jnp.einsum("cdah,ch->da", E_loc, Q_c * w_c,
+                                       precision=_HIGH)
+                    v_c = jnp.einsum("da,dp->pa", v_loc, G,
+                                     precision=_HIGH)
+                    return (S + S_c, vs + v_c), None
+            else:
+                def schur_step(carry, c):
+                    S, vs = carry
+                    E_dense, Q_c, w_c = chunk_E_dense(c)
+                    S_c = jnp.einsum(
+                        "cpah,cqbh->paqb", E_dense * Q_c[:, None, None, :],
+                        E_dense, precision=_HIGH,
+                    )
+                    v_c = jnp.einsum(
+                        "cpah,ch->pa", E_dense, Q_c * w_c, precision=_HIGH
+                    )
+                    return (S + S_c, vs + v_c), None
 
             (S, vs), _ = jax.lax.scan(
                 schur_step,
@@ -333,12 +457,21 @@ def ba(
 
         if not motion_only:
             # dz = Q (w − Eᵀ dx), recomputing chunks
-            def dz_step(_, c):
-                E_dense, Q_c, w_c = chunk_E_dense(c)
-                Edx = jnp.einsum(
-                    "cpah,pa->ch", E_dense, dx, precision=_HIGH
-                )
-                return None, Q_c * (w_c - Edx)
+            if compact:
+                def dz_step(_, c):
+                    E_loc, Q_c, w_c, G = chunk_E_compact(c)
+                    dx_loc = jnp.einsum("dp,pa->da", G, dx,
+                                        precision=_HIGH)
+                    Edx = jnp.einsum("cdah,da->ch", E_loc, dx_loc,
+                                     precision=_HIGH)
+                    return None, Q_c * (w_c - Edx)
+            else:
+                def dz_step(_, c):
+                    E_dense, Q_c, w_c = chunk_E_dense(c)
+                    Edx = jnp.einsum(
+                        "cpah,pa->ch", E_dense, dx, precision=_HIGH
+                    )
+                    return None, Q_c * (w_c - Edx)
 
             _, dz_chunks = jax.lax.scan(dz_step, None, jnp.arange(nchunks))
             dz = dz_chunks.reshape(Kpad, HW)[:K]

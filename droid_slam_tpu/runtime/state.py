@@ -307,12 +307,30 @@ class DepthVideo:
         kx, kmask, table = dba.build_schur_tables(
             np.asarray(ii), np.asarray(edge_mask), t0, t1, K, D
         )
+        # large pose windows (global BA at 256+ keyframes): compact Schur
+        # via host-built local pose tables — SLAM graphs are temporally
+        # local, so each depth-frame chunk couples to far fewer than P
+        # poses and the dense E·CK·P selector contraction is wasteful
+        extra = {}
+        if P >= 256 and not motion_only:
+            CK = 16
+            tabs = dba.build_compact_pose_tables(
+                np.asarray(ii), np.asarray(jj), np.asarray(edge_mask),
+                kx, kmask, t0, t1, CK, P,
+            )
+            if tabs is not None and tabs[2] < P // 2:
+                loc, val, _ = tabs
+                extra = dict(
+                    schur_chunk=CK,
+                    loc_pose=jnp.asarray(loc),
+                    loc_valid=jnp.asarray(val),
+                )
         poses, disps = dba.ba(
             self.state.poses, self.state.disps, self.state.disps_sens,
             self.state.intrinsics, target, weight, eta,
             jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(edge_mask),
             jnp.asarray(kx), jnp.asarray(kmask), jnp.asarray(table),
             t0, t1, iters=itrs, lm=lm, ep=ep,
-            motion_only=motion_only, P=P,
+            motion_only=motion_only, P=P, **extra,
         )
         self.state = self.state.replace(poses=poses, disps=disps)

@@ -228,3 +228,63 @@ class TestChunkedLinearize:
                                        rtol=0, atol=2e-5)
         monkeypatch.undo()
         jax.clear_caches()
+
+
+class TestCompactSchur:
+    def test_compact_matches_dense(self):
+        """The compact (local-pose-table) Schur path must match the
+        dense-P path, including loop-closure edges and edges whose
+        targets fall outside the optimized window."""
+        rng = np.random.default_rng(11)
+        poses_gt, disps_gt, intr, ii, jj, target, weight, mask, T, BUF = \
+            make_problem(rng)
+        # add a loop-closure pair + an edge pointing outside [t0, t1)
+        ii = np.concatenate([ii, [T - 1, 0]])
+        jj = np.concatenate([jj, [0, T - 1]])
+        E_cap = len(mask) + 2
+        mask = np.concatenate([mask, [True, True]])
+        ht, wd = disps_gt.shape[-2:]
+        target = np.concatenate(
+            [target, np.zeros((2, ht, wd, 2), np.float32)]
+        )
+        weight = np.concatenate(
+            [weight, 0.5 * np.ones((2, ht, wd, 2), np.float32)]
+        )
+
+        noise = 0.02 * rng.standard_normal((BUF, 6)).astype(np.float32)
+        noise[:2] = 0
+        poses = np.asarray(se3.retr(jnp.asarray(poses_gt),
+                                    jnp.asarray(noise)))
+        disps = np.ones_like(disps_gt)
+        t0, t1 = 2, T
+        K, D = 16, 32
+        kx, kmask, table = dba.build_schur_tables(ii, mask, t0, t1, K, D)
+        eta = 1e-4 * np.ones((BUF, ht, wd), np.float32)
+
+        args = (
+            jnp.asarray(poses), jnp.asarray(disps),
+            jnp.zeros_like(jnp.asarray(disps)), jnp.asarray(intr),
+            jnp.asarray(target), jnp.asarray(weight), jnp.asarray(eta),
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(mask),
+            jnp.asarray(kx), jnp.asarray(kmask), jnp.asarray(table),
+            t0, t1,
+        )
+        p_dense, d_dense = dba.ba(*args, iters=2, P=16)
+
+        CK = 4
+        tabs = dba.build_compact_pose_tables(
+            ii, jj, mask, kx, kmask, t0, t1, CK, 16
+        )
+        assert tabs is not None
+        loc, val, Dp = tabs
+        p_c, d_c = dba.ba(
+            *args, iters=2, P=16, schur_chunk=CK,
+            loc_pose=jnp.asarray(loc), loc_valid=jnp.asarray(val),
+        )
+        # the compact path contracts in a different order, so f32
+        # accumulation differs at ~1e-5; at float64 the two paths agree
+        # to 1e-13 (verified), i.e. the logic is exact
+        np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_dense),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_dense),
+                                   rtol=0, atol=1e-3)
