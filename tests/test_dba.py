@@ -288,3 +288,19 @@ class TestCompactSchur:
                                    rtol=0, atol=1e-4)
         np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_dense),
                                    rtol=0, atol=1e-3)
+
+    def test_overflow_falls_back(self):
+        """Globally-connected graphs (local pose set > P) must return
+        None so callers fall back to the dense path."""
+        t = 12
+        ii, jj = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")
+        keep = ii != jj
+        ii, jj = ii[keep], jj[keep]
+        mask = np.ones(len(ii), bool)
+        kx = np.arange(t, dtype=np.int32)
+        kmask = np.ones(t, bool)
+        # P=8 < the 12 poses every chunk touches -> overflow
+        tabs = dba.build_compact_pose_tables(
+            ii, jj, mask, kx, kmask, 0, t, 4, 8
+        )
+        assert tabs is None
