@@ -99,7 +99,7 @@ def build_schur_tables(ii, edge_mask, t0, t1, K, D):
 
 
 def build_compact_pose_tables(ii, jj, edge_mask, kx, kmask, t0, t1,
-                              CK, P):
+                              CK, P, Dp=None):
     """Host-side local pose tables for the compact Schur path.
 
     For each chunk of CK consecutive depth frames, list the pose slots
@@ -130,8 +130,11 @@ def build_compact_pose_tables(ii, jj, edge_mask, kx, kmask, t0, t1,
         locs.append(np.unique(cand) - t0)
 
     need = max((len(l) for l in locs), default=1)
-    Dp = int(np.ceil(max(need, 1) / 32) * 32)
-    Dp = min(Dp, P)
+    if Dp is None:
+        Dp = int(np.ceil(max(need, 1) / 32) * 32)
+        Dp = min(Dp, P)
+    elif need > Dp:
+        return None         # caller-forced width too small: fall back
     loc = np.zeros((nch, Dp), np.int32)
     val = np.zeros((nch, Dp), bool)
     for c, l in enumerate(locs):

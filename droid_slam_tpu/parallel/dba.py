@@ -98,21 +98,68 @@ def shard_edges_by_frame(ii, jj, target, weight, edge_mask, n_shards,
             out_tbl)
 
 
+def build_shard_compact_tables(shard_ii, shard_jj, shard_mask, shard_kx,
+                               shard_kmask, t0, t1, CK, P_cap):
+    """Per-shard local pose tables (compact Schur) with a common Dp.
+
+    Returns (loc (S, nch, Dp) int32, val (S, nch, Dp) bool, Dp) or None
+    when a shard's connectivity overflows the pose window.  Profitability
+    (Dp sufficiently below P_cap) is the caller's call.
+    """
+    S = shard_ii.shape[0]
+    first = [
+        dba_ops.build_compact_pose_tables(
+            shard_ii[s], shard_jj[s], shard_mask[s], shard_kx[s],
+            shard_kmask[s], t0, t1, CK, P_cap,
+        )
+        for s in range(S)
+    ]
+    if any(t is None for t in first):
+        return None
+    Dp = max(t[2] for t in first)
+    locs, vals = [], []
+    for s in range(S):
+        t = dba_ops.build_compact_pose_tables(
+            shard_ii[s], shard_jj[s], shard_mask[s], shard_kx[s],
+            shard_kmask[s], t0, t1, CK, P_cap, Dp=Dp,
+        )
+        if t is None:
+            return None
+        locs.append(t[0])
+        vals.append(t[1])
+    return np.stack(locs), np.stack(vals), Dp
+
+
 def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
-                        P_cap=128, schur_chunk=None):
+                        P_cap=128, schur_chunk=None, compact=False):
     """Build the shard_map'ed distributed BA step for `mesh`.
 
     Replicated inputs: poses/disps/disps_sens/intrinsics/eta (full buffer),
     t0, t1.  Sharded inputs (leading mesh-axis dim): per-shard edge arrays
     from shard_edges_by_frame.  Returns (poses, disps), replicated.
+
+    With compact=True the call additionally takes per-shard local pose
+    tables (build_shard_compact_tables) after `table`, and the per-shard
+    Schur elimination runs against those Dp-entry tables instead of the
+    full P_cap window (ops/dba.py compact path; ~P/Dp fewer FLOPs at
+    512-1024-keyframe scale).  schur_chunk must then match the tables.
     """
 
     def ba_shard(poses, disps, disps_sens, intrinsics, eta,
-                 ii, jj, target, weight, mask, kx, kmask, table, t0, t1):
+                 ii, jj, target, weight, mask, kx, kmask, table,
+                 *rest):
+        if compact:
+            loc_pose, loc_valid, t0, t1 = rest
+        else:
+            t0, t1 = rest
+            loc_pose = loc_valid = None
         # strip the leading shard dim (size 1 per device under shard_map)
         (ii, jj, target, weight, mask, kx, kmask, table) = jax.tree.map(
             lambda x: x[0], (ii, jj, target, weight, mask, kx, kmask, table)
         )
+        if compact:
+            loc_pose = loc_pose[0]
+            loc_valid = loc_valid[0]
         ht, wd = disps.shape[-2:]
         HW = ht * wd
         K = kx.shape[0]
@@ -120,6 +167,11 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
 
         CK = schur_chunk or max(1, min(32, 4096 // max(P_cap, 1)))
         nchunks = (K + CK - 1) // CK
+        if compact:
+            assert loc_pose.shape[0] == nchunks, (
+                "compact tables require the schur_chunk they were built "
+                "with (build_shard_compact_tables)"
+            )
         Kpad = nchunks * CK
         kx_pad = jnp.concatenate([kx, jnp.zeros((Kpad - K,), kx.dtype)])
         km_pad = jnp.concatenate(
@@ -141,6 +193,16 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
             eta_k = take_rows(eta.reshape(buf, HW), kx)
             m_sens = (dsk > 0).astype(jnp.float32)
 
+            def _depth_terms(M, kx_c, km_c, c):
+                C_c = jnp.einsum("ec,eh->ch", M, Cii, precision=_HIGH)
+                w_c = jnp.einsum("ec,eh->ch", M, wi, precision=_HIGH)
+                sl = (jnp.arange(CK) + c * CK).clip(0, K - 1)
+                ms = m_sens[sl]
+                C_c = C_c + ms * dba_ops.ALPHA + (1.0 - ms) * eta_k[sl]
+                w_c = w_c - ms * dba_ops.ALPHA * (dk[sl] - dsk[sl])
+                Q_c = jnp.where(km_c[:, None], 1.0 / C_c, 0.0)
+                return Q_c, w_c
+
             def chunk_E_dense(c):
                 kx_c = jax.lax.dynamic_slice(kx_pad, (c * CK,), (CK,))
                 km_c = jax.lax.dynamic_slice(km_pad, (c * CK,), (CK,))
@@ -159,25 +221,70 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
                 E_dense = E_edge + jnp.einsum(
                     "cah,cp->cpah", E_self, Pk, precision=_HIGH
                 )
-                C_c = jnp.einsum("ec,eh->ch", M, Cii, precision=_HIGH)
-                w_c = jnp.einsum("ec,eh->ch", M, wi, precision=_HIGH)
-                sl = (jnp.arange(CK) + c * CK).clip(0, K - 1)
-                ms = m_sens[sl]
-                C_c = C_c + ms * dba_ops.ALPHA + (1.0 - ms) * eta_k[sl]
-                w_c = w_c - ms * dba_ops.ALPHA * (dk[sl] - dsk[sl])
-                Q_c = jnp.where(km_c[:, None], 1.0 / C_c, 0.0)
+                Q_c, w_c = _depth_terms(M, kx_c, km_c, c)
                 return E_dense, Q_c, w_c
 
-            def schur_step(carry, c):
-                S, vs = carry
-                E_dense, Q_c, w_c = chunk_E_dense(c)
-                S_c = jnp.einsum(
-                    "cpah,cqbh->paqb", E_dense * Q_c[:, None, None, :],
-                    E_dense, precision=_HIGH,
+            def chunk_E_compact(c):
+                """Per-shard compact coupling (ops/dba.py compact path)."""
+                kx_c = jax.lax.dynamic_slice(kx_pad, (c * CK,), (CK,))
+                km_c = jax.lax.dynamic_slice(km_pad, (c * CK,), (CK,))
+                Dp = loc_pose.shape[1]
+                Lc = jax.lax.dynamic_slice(loc_pose, (c, 0), (1, Dp))[0]
+                Lv = jax.lax.dynamic_slice(loc_valid, (c, 0), (1, Dp))[0]
+                M = (
+                    (ii[:, None] == kx_c[None, :])
+                    & mask[:, None] & km_c[None, :]
+                ).astype(jnp.float32)
+                pj = jj - t0
+                Pj_loc = (
+                    (pj[:, None] == Lc[None, :]) & Lv[None, :]
+                    & ((pj >= 0) & (pj < P_cap))[:, None]
+                ).astype(jnp.float32)
+                S2 = M[:, :, None] * Pj_loc[:, None, :]
+                E_loc = jnp.einsum("eah,ecd->cdah", Eij, S2,
+                                   precision=_HIGH)
+                E_self = jnp.einsum("ec,eah->cah", M, Eii, precision=_HIGH)
+                pk = kx_c - t0
+                Pk_loc = (
+                    (pk[:, None] == Lc[None, :]) & Lv[None, :]
+                    & ((pk >= 0) & (pk < P_cap))[:, None] & km_c[:, None]
+                ).astype(jnp.float32)
+                E_loc = E_loc + jnp.einsum(
+                    "cah,cd->cdah", E_self, Pk_loc, precision=_HIGH
                 )
-                v_c = jnp.einsum("cpah,ch->pa", E_dense, Q_c * w_c,
-                                 precision=_HIGH)
-                return (S + S_c, vs + v_c), None
+                Q_c, w_c = _depth_terms(M, kx_c, km_c, c)
+                G = dba_ops._onehot(Lc, P_cap, Lv)
+                return E_loc, Q_c, w_c, G
+
+            if compact:
+                def schur_step(carry, c):
+                    S, vs = carry
+                    E_loc, Q_c, w_c, G = chunk_E_compact(c)
+                    S_loc = jnp.einsum(
+                        "cdah,cfbh->dafb",
+                        E_loc * Q_c[:, None, None, :], E_loc,
+                        precision=_HIGH,
+                    )
+                    T1 = jnp.einsum("dafb,dp->pafb", S_loc, G,
+                                    precision=_HIGH)
+                    S_c = jnp.einsum("pafb,fq->paqb", T1, G,
+                                     precision=_HIGH)
+                    v_loc = jnp.einsum("cdah,ch->da", E_loc, Q_c * w_c,
+                                       precision=_HIGH)
+                    v_c = jnp.einsum("da,dp->pa", v_loc, G,
+                                     precision=_HIGH)
+                    return (S + S_c, vs + v_c), None
+            else:
+                def schur_step(carry, c):
+                    S, vs = carry
+                    E_dense, Q_c, w_c = chunk_E_dense(c)
+                    S_c = jnp.einsum(
+                        "cpah,cqbh->paqb", E_dense * Q_c[:, None, None, :],
+                        E_dense, precision=_HIGH,
+                    )
+                    v_c = jnp.einsum("cpah,ch->pa", E_dense, Q_c * w_c,
+                                     precision=_HIGH)
+                    return (S + S_c, vs + v_c), None
 
             (S, vs), _ = jax.lax.scan(
                 schur_step,
@@ -210,11 +317,20 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
             poses = se3.retr(poses, dx_full)
 
             # local depth update, then psum-merge the disjoint frame sets
-            def dz_step(_, c):
-                E_dense, Q_c, w_c = chunk_E_dense(c)
-                Edx = jnp.einsum("cpah,pa->ch", E_dense, dx,
-                                 precision=_HIGH)
-                return None, Q_c * (w_c - Edx)
+            if compact:
+                def dz_step(_, c):
+                    E_loc, Q_c, w_c, G = chunk_E_compact(c)
+                    dx_loc = jnp.einsum("dp,pa->da", G, dx,
+                                        precision=_HIGH)
+                    Edx = jnp.einsum("cdah,da->ch", E_loc, dx_loc,
+                                     precision=_HIGH)
+                    return None, Q_c * (w_c - Edx)
+            else:
+                def dz_step(_, c):
+                    E_dense, Q_c, w_c = chunk_E_dense(c)
+                    Edx = jnp.einsum("cpah,pa->ch", E_dense, dx,
+                                     precision=_HIGH)
+                    return None, Q_c * (w_c - Edx)
 
             _, dz_chunks = jax.lax.scan(dz_step, None, jnp.arange(nchunks))
             dz = dz_chunks.reshape(Kpad, HW)[:K]
@@ -242,10 +358,10 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
 
     rep = P()
     shd = P(axis)
+    n_shd = 10 if compact else 8
     fn = shard_map(
         ba_shard, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep,
-                  shd, shd, shd, shd, shd, shd, shd, shd, rep, rep),
+        in_specs=(rep, rep, rep, rep, rep) + (shd,) * n_shd + (rep, rep),
         out_specs=(rep, rep),
         check_vma=False,
     )

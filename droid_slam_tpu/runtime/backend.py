@@ -121,20 +121,38 @@ class Backend:
                 ii_n, jj_n, np.asarray(target), np.asarray(weight), em,
                 n_shards, E_shard, K_shard, D, t0, t1,
             )
+            # compact per-shard Schur when the graph is local enough
+            # (ops/dba.py compact path; falls back to dense otherwise)
+            CK = 16
+            tabs = None
+            if pose_cap >= 256:
+                tabs = pdba.build_shard_compact_tables(
+                    shards[0], shards[1], shards[4], shards[5],
+                    shards[6], t0, t1, CK, pose_cap,
+                )
+                if tabs is not None and tabs[2] >= pose_cap // 2:
+                    tabs = None      # not local enough to pay off
             # pose_cap is baked into the compiled solver (P_cap) and
             # changes with the keyframe-count bucket — it must be part
             # of the cache key or a later, larger session could reuse a
-            # solver that never optimizes poses beyond the old cap
-            key = (E_shard, K_shard, D, pose_cap)
+            # solver that never optimizes poses beyond the old cap;
+            # same for the compact-table shape
+            tab_shape = None if tabs is None else tabs[0].shape
+            key = (E_shard, K_shard, D, pose_cap, tab_shape)
             if key not in self._dist_fns:
                 self._dist_fns[key] = pdba.make_distributed_ba(
                     mesh, iters=cfg.ba_iters,
                     lm=cfg.backend_lm, ep=cfg.backend_ep, P_cap=pose_cap,
+                    compact=tabs is not None,
+                    schur_chunk=CK if tabs is not None else None,
                 )
             st = video.state
+            extra = () if tabs is None else (
+                jnp.asarray(tabs[0]), jnp.asarray(tabs[1]),
+            )
             poses, disps = self._dist_fns[key](
                 st.poses, st.disps, st.disps_sens, st.intrinsics, eta,
-                *[jnp.asarray(s) for s in shards],
+                *[jnp.asarray(s) for s in shards], *extra,
                 jnp.asarray(t0, jnp.int32), jnp.asarray(t1, jnp.int32),
             )
             video.state = st.replace(poses=poses, disps=disps)

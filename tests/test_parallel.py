@@ -184,3 +184,49 @@ class TestBackendDistributed:
         p_dist = run(True)
         assert np.all(np.isfinite(p_dist))
         np.testing.assert_allclose(p_dist, p_single, atol=2e-3)
+
+
+class TestDistributedCompact:
+    def test_compact_matches_dense_distributed(self, problem):
+        """The compact per-shard Schur path (local pose tables) must
+        match the dense distributed solver."""
+        pb = problem
+        T, BUF, ht, wd = pb["T"], pb["BUF"], pb["ht"], pb["wd"]
+        t0, t1 = 2, T
+        eta = 1e-4 * np.ones((BUF, ht, wd), np.float32)
+        mask = np.ones(len(pb["ii"]), bool)
+
+        devs = np.array(jax.devices()[:8])
+        mesh = Mesh(devs, ("ba",))
+        shards = pdba.shard_edges_by_frame(
+            pb["ii"], pb["jj"], pb["target"], pb["weight"], mask,
+            n_shards=8, E_shard=16, K_shard=4, D=8, t0=t0, t1=t1,
+        )
+        rep_args = (
+            jnp.asarray(pb["poses0"]), jnp.asarray(pb["disps0"]),
+            jnp.zeros((BUF, ht, wd)), jnp.asarray(pb["intr"]),
+            jnp.asarray(eta),
+        )
+        fn_d = pdba.make_distributed_ba(mesh, iters=2, lm=1e-5, ep=1e-2,
+                                        P_cap=16)
+        p_d, d_d = fn_d(*rep_args, *[jnp.asarray(s) for s in shards],
+                        t0, t1)
+
+        CK = 2
+        # Dp is forced small so the local window genuinely compresses
+        tabs = pdba.build_shard_compact_tables(
+            shards[0], shards[1], shards[4], shards[5], shards[6],
+            t0, t1, CK, 16,
+        )
+        assert tabs is not None
+        loc, val, Dp = tabs
+        fn_c = pdba.make_distributed_ba(mesh, iters=2, lm=1e-5, ep=1e-2,
+                                        P_cap=16, compact=True,
+                                        schur_chunk=CK)
+        p_c, d_c = fn_c(*rep_args, *[jnp.asarray(s) for s in shards],
+                        jnp.asarray(loc), jnp.asarray(val), t0, t1)
+
+        np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_d),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_d),
+                                   atol=1e-3, rtol=2e-2)
