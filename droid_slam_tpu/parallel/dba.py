@@ -50,14 +50,22 @@ def shard_edges_by_frame(ii, jj, target, weight, edge_mask, n_shards,
     frame_edges = {
         int(f): np.nonzero((ii == f) & edge_mask)[0] for f in frames
     }
-    order = sorted(frames, key=lambda f: -len(frame_edges[int(f)]))
 
+    # CONTIGUOUS balanced partition (prefix-sum split by edge count):
+    # SLAM graphs are temporally local, so contiguous frame ranges keep
+    # each shard's pose-adjacency window small — the compact per-shard
+    # Schur path depends on it (a greedy heaviest-first packing balances
+    # load marginally better but scatters frames across the trajectory,
+    # and the local pose tables blow up toward the full window)
+    loads = np.array(
+        [max(len(frame_edges[int(f)]), 1) for f in frames], np.int64
+    )
+    cum = np.cumsum(loads)
+    total = int(cum[-1])
     shard_frames = [[] for _ in range(n_shards)]
-    shard_load = np.zeros(n_shards, np.int64)
-    for f in order:
-        s = int(np.argmin(shard_load))
+    for k, f in enumerate(frames):
+        s = min(int((cum[k] - 1) * n_shards // total), n_shards - 1)
         shard_frames[s].append(int(f))
-        shard_load[s] += max(len(frame_edges[int(f)]), 1)
 
     out_ii = np.zeros((n_shards, E_shard), np.int32)
     out_jj = np.zeros((n_shards, E_shard), np.int32)

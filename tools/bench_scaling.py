@@ -27,6 +27,9 @@ def main():
     p.add_argument("--edges_per_frame", type=int, default=12)
     p.add_argument("--iters", type=int, default=2)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--compact", action="store_true",
+                   help="use the compact per-shard Schur path (local "
+                        "pose tables)")
     args = p.parse_args()
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
@@ -89,11 +92,24 @@ def main():
             E_shard=E_shard, K_shard=K_shard,
             D=4 * args.edges_per_frame, t0=1, t1=T,
         )
-        fn = pdba.make_distributed_ba(mesh, iters=args.iters, P_cap=P_cap)
+        extra = ()
+        CK = 8
+        if args.compact:
+            tabs = pdba.build_shard_compact_tables(
+                shards[0], shards[1], shards[4], shards[5], shards[6],
+                1, T, CK, P_cap,
+            )
+            assert tabs is not None, "compact tables overflowed"
+            extra = (jnp.asarray(tabs[0]), jnp.asarray(tabs[1]))
+            print(f"compact: Dp={tabs[2]} vs P_cap={P_cap}", flush=True)
+        fn = pdba.make_distributed_ba(
+            mesh, iters=args.iters, P_cap=P_cap,
+            compact=args.compact, schur_chunk=CK if args.compact else None,
+        )
         fargs = (
             jnp.asarray(poses), jnp.asarray(disps),
             jnp.zeros((BUF, ht, wd)), jnp.asarray(intr), jnp.asarray(eta),
-            *[jnp.asarray(s) for s in shards], 1, T,
+            *[jnp.asarray(s) for s in shards], *extra, 1, T,
         )
         force(fn(*fargs))  # warm
         t0 = time.perf_counter()
