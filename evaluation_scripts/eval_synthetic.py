@@ -126,17 +126,28 @@ def main():
         return ate
 
     results = [run_scene(s, params) for s in args.seeds]
-    print(f"mean ATE over {len(results)} scenes: "
-          f"{np.mean(results):.4f} m")
+    def agg(vals, name):
+        """Mean over finite runs + divergence count (a single inf —
+        divergence-guard sentinel — must not poison the aggregate) and
+        the median as the robust headline."""
+        v = np.asarray(vals, np.float64)
+        fin = v[np.isfinite(v)]
+        n_div = int(np.sum(~np.isfinite(v)))
+        mean = float(fin.mean()) if len(fin) else float("inf")
+        med = float(np.median(fin)) if len(fin) else float("inf")
+        print(f"{name}: median {med:.4f} m, mean(finite) {mean:.4f} m"
+              + (f", {n_div} diverged" if n_div else ""))
+        return med
+
+    med_l = agg(results, f"learned ATE over {len(results)} scenes")
 
     if args.compare:
         base = [run_scene(s, None, tag=" [random-init]")
                 for s in args.seeds]
-        print(f"mean random-init ATE: {np.mean(base):.4f} m; "
-              f"learned/random ratio "
-              f"{np.mean(results) / np.mean(base):.3f} "
-              f"(improvement {np.mean(base) / np.mean(results):.2f}x)")
-    return float(np.mean(results))
+        med_r = agg(base, "random-init ATE")
+        print(f"learned/random median ratio {med_l / med_r:.3f} "
+              f"(improvement {med_r / med_l:.2f}x)")
+    return float(med_l)
 
 
 if __name__ == "__main__":
