@@ -48,6 +48,27 @@ def main():
     ap.add_argument("--buffer", type=int, default=96)
     args = ap.parse_args()
 
+    # device-liveness watchdog: a dead axon relay makes jax.devices()
+    # block forever inside the PJRT client — fail fast and loudly
+    # instead of hanging the benchmark driver
+    import sys as _sys
+    import threading
+
+    _probe_ok = []
+
+    def _probe():
+        import jax as _jax
+        _probe_ok.append(len(_jax.devices()))
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=600)
+    if not _probe_ok:
+        print("bench: accelerator unreachable (device enumeration timed "
+              "out after 600 s — tunnel/relay down?)", file=_sys.stderr,
+              flush=True)
+        raise SystemExit(3)
+
     import jax
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
