@@ -44,9 +44,12 @@ def main():
                          "(perf experiment; default SLAMConfig value)")
     ap.add_argument("--depth_cap", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=20,
-                    help="frames per streaming dispatch")
+                    help="frames per streaming dispatch (1..40: the warm "
+                         "phase needs chunk <= n_warm and the 96-slot "
+                         "buffer bounds warm+bench keyframes)")
     ap.add_argument("--buffer", type=int, default=96)
     args = ap.parse_args()
+    args.chunk = max(1, min(args.chunk, 40))
 
     # device-liveness watchdog: a dead axon relay makes jax.devices()
     # block forever inside the PJRT client — fail fast and loudly

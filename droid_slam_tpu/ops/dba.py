@@ -210,14 +210,16 @@ LIN_CHUNK = 512
 
 
 def _linearize_chunked(poses, disps, intrinsics, target, weight, ii, jj,
-                       edge_mask, chunk=LIN_CHUNK):
+                       edge_mask, chunk=None):
     """_linearize via lax.scan over edge chunks (same outputs).
 
     Used when E > chunk: per-edge OUTPUT blocks (Hblk, Eii/Eij, ...) are
     unavoidable, but the much larger weighted-Jacobian intermediates live
     only per chunk.  E is already a power-of-two bucket, so `chunk`
     divides it for every capacity this path sees; a remainder is padded.
+    (`chunk` reads LIN_CHUNK at call time so tests can patch it.)
     """
+    chunk = chunk or LIN_CHUNK
     E = ii.shape[0]
     nch = (E + chunk - 1) // chunk
     Ep = nch * chunk

@@ -30,10 +30,58 @@ from ..ops.gathers import take_rows
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def _partition_frames(ii, edge_mask, t0, t1, n_shards):
+    """CONTIGUOUS balanced partition of depth frames by edge count.
+
+    SLAM graphs are temporally local, so contiguous frame ranges keep
+    each shard's pose-adjacency window small — the compact per-shard
+    Schur path depends on it (a greedy heaviest-first packing balances
+    load marginally better but scatters frames across the trajectory,
+    and the local pose tables blow up toward the full window).
+
+    Returns (shard_frames: list of frame lists, frame_edges: dict).
+    """
+    ii = np.asarray(ii)
+    edge_mask = np.asarray(edge_mask)
+    frames = np.unique(np.concatenate([np.arange(t0, t1), ii[edge_mask]]))
+    frame_edges = {
+        int(f): np.nonzero((ii == f) & edge_mask)[0] for f in frames
+    }
+    loads = np.array(
+        [len(frame_edges[int(f)]) for f in frames], np.int64
+    )
+    cum = np.cumsum(loads)
+    total = max(int(cum[-1]), 1)
+    shard_frames = [[] for _ in range(n_shards)]
+    for k, f in enumerate(frames):
+        s = min(int(max(cum[k] - 1, 0) * n_shards // total), n_shards - 1)
+        shard_frames[s].append(int(f))
+    return shard_frames, frame_edges
+
+
+def plan_shard_caps(ii, edge_mask, t0, t1, n_shards):
+    """Exact per-shard capacity requirements for the contiguous partition
+    (max edges per shard, max frames per shard, max frame degree) —
+    callers bucket these before shard_edges_by_frame so a concentrated
+    edge distribution can never overflow the static caps."""
+    shard_frames, frame_edges = _partition_frames(
+        ii, edge_mask, t0, t1, n_shards
+    )
+    need_e = max(
+        (sum(len(frame_edges[f]) for f in fr) for fr in shard_frames),
+        default=1,
+    )
+    need_k = max((len(fr) for fr in shard_frames), default=1)
+    need_d = max(
+        (len(e) for e in frame_edges.values()), default=1,
+    )
+    return max(need_e, 1), max(need_k, 1), max(need_d, 1)
+
+
 def shard_edges_by_frame(ii, jj, target, weight, edge_mask, n_shards,
                          E_shard, K_shard, D, t0, t1):
-    """Partition edges so all edges with the same source frame land on one
-    shard (greedy bin-packing by frame, heaviest first).
+    """Partition edges so all edges with the same source frame land on
+    one shard (contiguous prefix-sum partition, _partition_frames).
 
     Returns per-shard stacked arrays:
       ii, jj (S, E_shard), target/weight (S, E_shard, h, w, 2),
@@ -46,26 +94,9 @@ def shard_edges_by_frame(ii, jj, target, weight, edge_mask, n_shards,
     weight = np.asarray(weight)
     hw = target.shape[1:]
 
-    frames = np.unique(np.concatenate([np.arange(t0, t1), ii[edge_mask]]))
-    frame_edges = {
-        int(f): np.nonzero((ii == f) & edge_mask)[0] for f in frames
-    }
-
-    # CONTIGUOUS balanced partition (prefix-sum split by edge count):
-    # SLAM graphs are temporally local, so contiguous frame ranges keep
-    # each shard's pose-adjacency window small — the compact per-shard
-    # Schur path depends on it (a greedy heaviest-first packing balances
-    # load marginally better but scatters frames across the trajectory,
-    # and the local pose tables blow up toward the full window)
-    loads = np.array(
-        [max(len(frame_edges[int(f)]), 1) for f in frames], np.int64
+    shard_frames, frame_edges = _partition_frames(
+        ii, edge_mask, t0, t1, n_shards
     )
-    cum = np.cumsum(loads)
-    total = int(cum[-1])
-    shard_frames = [[] for _ in range(n_shards)]
-    for k, f in enumerate(frames):
-        s = min(int((cum[k] - 1) * n_shards // total), n_shards - 1)
-        shard_frames[s].append(int(f))
 
     out_ii = np.zeros((n_shards, E_shard), np.int32)
     out_jj = np.zeros((n_shards, E_shard), np.int32)
@@ -125,16 +156,16 @@ def build_shard_compact_tables(shard_ii, shard_jj, shard_mask, shard_kx,
     if any(t is None for t in first):
         return None
     Dp = max(t[2] for t in first)
+    # re-pad each shard's tables to the common Dp (cheaper than a
+    # second table-building pass; the entries are identical)
     locs, vals = [], []
-    for s in range(S):
-        t = dba_ops.build_compact_pose_tables(
-            shard_ii[s], shard_jj[s], shard_mask[s], shard_kx[s],
-            shard_kmask[s], t0, t1, CK, P_cap, Dp=Dp,
-        )
-        if t is None:
-            return None
-        locs.append(t[0])
-        vals.append(t[1])
+    for loc, val, dp in first:
+        if dp < Dp:
+            pad = ((0, 0), (0, Dp - dp))
+            loc = np.pad(loc, pad)
+            val = np.pad(val, pad)
+        locs.append(loc)
+        vals.append(val)
     return np.stack(locs), np.stack(vals), Dp
 
 

@@ -67,9 +67,13 @@ class Backend:
             degree_cap=64,
             upsample=cfg.upsample,
             # edge arrays grow lazily to the edges proximity actually
-            # selects; bf16 GRU state halves the dominant store (the
-            # reference holds its net state in fp16, factor_graph.py:84)
-            state_dtype=jnp.bfloat16,
+            # selects; f16 GRU state halves the dominant store while
+            # keeping 3 more mantissa bits than bf16 — the hidden state
+            # round-trips through this store after EVERY update sweep,
+            # and bf16 measurably perturbs the GRU (see state.py nets
+            # comment); matches the reference's fp16 autocast state
+            # (factor_graph.py:84)
+            state_dtype=jnp.float16,
         )
 
         import jax
@@ -107,15 +111,16 @@ class Backend:
                 return
             ii_n = np.asarray(ii)
             jj_n = np.asarray(jj)
-            deg = np.bincount(ii_n[em], minlength=1).max() if n_e else 1
-            n_frames = len(np.unique(
-                np.concatenate([np.arange(t0, t1), ii_n[em]])
-            ))
-            # per-shard caps, bucketed so jit compiles once per bucket
-            E_shard = _bucket(int(np.ceil(2.0 * n_e / n_shards)), lo=16)
-            K_shard = _bucket(int(np.ceil(2.0 * n_frames / n_shards)),
-                              lo=8)
-            D = _bucket(int(deg), lo=8)
+            # exact per-shard requirements for the contiguous partition
+            # (a concentrated edge distribution can need far more than
+            # the balanced 2·n_e/n_shards estimate), bucketed so jit
+            # compiles once per bucket
+            need_e, need_k, need_d = pdba.plan_shard_caps(
+                ii_n, em, t0, t1, n_shards
+            )
+            E_shard = _bucket(need_e, lo=16)
+            K_shard = _bucket(need_k, lo=8)
+            D = _bucket(need_d, lo=8)
 
             shards = pdba.shard_edges_by_frame(
                 ii_n, jj_n, np.asarray(target), np.asarray(weight), em,

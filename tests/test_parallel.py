@@ -187,41 +187,68 @@ class TestBackendDistributed:
 
 
 class TestDistributedCompact:
-    def test_compact_matches_dense_distributed(self, problem):
+    def test_compact_matches_dense_distributed(self):
         """The compact per-shard Schur path (local pose tables) must
-        match the dense distributed solver."""
-        pb = problem
-        T, BUF, ht, wd = pb["T"], pb["BUF"], pb["ht"], pb["wd"]
+        match the dense distributed solver, with Dp genuinely below
+        P_cap so the local->global scatter is exercised (a 40-frame
+        radius-3 graph gives Dp=32 against P_cap=64)."""
+        rng = np.random.default_rng(5)
+        T, BUF, ht, wd = 40, 44, 12, 16
+        xs = np.cumsum(0.04 * rng.standard_normal((T, 6)), axis=0)
+        xs[0] = 0
+        poses_gt = np.tile([0, 0, 0, 0, 0, 0, 1.0], (BUF, 1)).astype(
+            np.float32)
+        poses_gt[:T] = np.asarray(se3.exp(jnp.asarray(xs, jnp.float32)))
+        disps_gt = (0.6 + 0.25 * rng.random((BUF, ht, wd))).astype(
+            np.float32)
+        intr = np.tile([wd * 1.2, wd * 1.2, wd / 2, ht / 2],
+                       (BUF, 1)).astype(np.float32)
+        ii, jj = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+        keep = (np.abs(ii - jj) >= 1) & (np.abs(ii - jj) <= 3)
+        ii, jj = ii[keep].astype(np.int32), jj[keep].astype(np.int32)
+        target, _ = projective.projective_transform(
+            jnp.asarray(poses_gt)[None], jnp.asarray(disps_gt)[None],
+            jnp.asarray(intr)[None], jnp.asarray(ii), jnp.asarray(jj),
+        )
+        target = np.asarray(target[0])
+        weight = np.ones_like(target)
+        noise = 0.02 * rng.standard_normal((BUF, 6)).astype(np.float32)
+        noise[:2] = 0
+        noise[T:] = 0
+        poses0 = np.asarray(se3.retr(jnp.asarray(poses_gt),
+                                     jnp.asarray(noise)))
+        mask = np.ones(len(ii), bool)
         t0, t1 = 2, T
+        P_cap = 64
         eta = 1e-4 * np.ones((BUF, ht, wd), np.float32)
-        mask = np.ones(len(pb["ii"]), bool)
 
-        devs = np.array(jax.devices()[:8])
+        devs = np.array(jax.devices()[:4])
         mesh = Mesh(devs, ("ba",))
+        need_e, need_k, need_d = pdba.plan_shard_caps(ii, mask, t0, t1, 4)
         shards = pdba.shard_edges_by_frame(
-            pb["ii"], pb["jj"], pb["target"], pb["weight"], mask,
-            n_shards=8, E_shard=16, K_shard=4, D=8, t0=t0, t1=t1,
+            ii, jj, target, weight, mask, n_shards=4,
+            E_shard=need_e, K_shard=need_k, D=need_d, t0=t0, t1=t1,
         )
         rep_args = (
-            jnp.asarray(pb["poses0"]), jnp.asarray(pb["disps0"]),
-            jnp.zeros((BUF, ht, wd)), jnp.asarray(pb["intr"]),
+            jnp.asarray(poses0), jnp.asarray(np.ones_like(disps_gt)),
+            jnp.zeros((BUF, ht, wd)), jnp.asarray(intr),
             jnp.asarray(eta),
         )
         fn_d = pdba.make_distributed_ba(mesh, iters=2, lm=1e-5, ep=1e-2,
-                                        P_cap=16)
+                                        P_cap=P_cap)
         p_d, d_d = fn_d(*rep_args, *[jnp.asarray(s) for s in shards],
                         t0, t1)
 
-        CK = 2
-        # Dp is forced small so the local window genuinely compresses
+        CK = 4
         tabs = pdba.build_shard_compact_tables(
             shards[0], shards[1], shards[4], shards[5], shards[6],
-            t0, t1, CK, 16,
+            t0, t1, CK, P_cap,
         )
         assert tabs is not None
         loc, val, Dp = tabs
+        assert Dp < P_cap, (Dp, P_cap)   # genuine compression
         fn_c = pdba.make_distributed_ba(mesh, iters=2, lm=1e-5, ep=1e-2,
-                                        P_cap=16, compact=True,
+                                        P_cap=P_cap, compact=True,
                                         schur_chunk=CK)
         p_c, d_c = fn_c(*rep_args, *[jnp.asarray(s) for s in shards],
                         jnp.asarray(loc), jnp.asarray(val), t0, t1)
