@@ -162,6 +162,19 @@ def _synthetic_dataset(cfg):
                         dsp = dsp[:, y0:y0 + ch, x0:x0 + cw]
                         intr[:, 2] -= x0
                         intr[:, 3] -= y0
+                    # photometric jitter (the reference trainer color-
+                    # jitters every sample, augmentation.py:7-30):
+                    # per-sequence brightness/contrast/gamma + per-frame
+                    # sensor noise; geometry untouched
+                    gain = rs.uniform(0.7, 1.3)
+                    bias = rs.uniform(-20, 20)
+                    gamma = rs.uniform(0.85, 1.2)
+                    img = 255.0 * (np.clip(img / 255.0, 0, 1) ** gamma)
+                    img = img * gain + bias
+                    img = img + rs.normal(
+                        0, rs.uniform(0, 4), img.shape
+                    ).astype(np.float32)
+                    img = np.clip(img, 0, 255)
                     items.append(dict(
                         images=img,
                         poses=sc["poses_c2w"][s0:s0 + N],
