@@ -31,13 +31,15 @@ echo "=== 6. backend scale: 1000 keyframes @ 384x512 ==="
 timeout 3600 python tools/validate_backend_scale.py --n_kf 1000 --steps 4 \
     2>&1 | tee $L/backend_1000.log
 
-echo "battery2 done"
-
 echo "=== 7. on-chip eval of the shipped weights (held-out scenes) ==="
 timeout 2400 python evaluation_scripts/eval_synthetic.py \
     --ckpt weights/droid_synth.npz --seeds 11 12 13 14 --motion 0.12 \
     --compare 2>&1 | tee $L/eval_onchip.log | grep -aE "^seed|median|ratio"
 
-echo "=== 8. distributed-BA scaling table (compact path) ==="
-JAX_PLATFORMS='' timeout 1800 python tools/bench_scaling.py --frames 128 \
-    --compact 2>&1 | tee $L/scaling_compact.log
+echo "=== 8. distributed-BA scaling table (compact path, virtual mesh) ==="
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    timeout 1800 python tools/bench_scaling.py --frames 128 --compact \
+    2>&1 | tee $L/scaling_compact.log
+
+echo "battery2 done"
