@@ -75,7 +75,12 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
               flush=True)
     logger = Logger(cfg.name)
 
-    rng = np.random.default_rng(seed)
+    # derive the data/graph randomness from (seed, resume step): a
+    # resumed run must CONTINUE the stream, not replay the batches the
+    # run already consumed (sample_batches would otherwise restart its
+    # deterministic sequence from batch 0)
+    start_step = int(state.step)
+    rng = np.random.default_rng([seed, start_step])
     max_steps = max_steps or cfg.steps
     N = cfg.n_frames
     # capacity must hold BOTH graph families: the covisibility sampler
@@ -90,8 +95,13 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
         net, tx, iters=cfg.iters, fix_scale=cfg.fix_scale, mesh=mesh,
     )
 
-    batches = dataset.sample_batches(cfg.batch)
-    total_steps = int(state.step)
+    try:
+        batches = dataset.sample_batches(
+            cfg.batch, rng=np.random.default_rng([seed + 1, start_step])
+        )
+    except TypeError:       # samplers without an rng parameter
+        batches = dataset.sample_batches(cfg.batch)
+    total_steps = start_step
 
     while total_steps < max_steps:
         batch_np = next(batches)

@@ -32,8 +32,9 @@ timeout 3600 python tools/validate_backend_scale.py --n_kf 1000 --steps 4 \
     2>&1 | tee $L/backend_1000.log
 
 echo "=== 7. on-chip eval of the shipped weights (held-out scenes) ==="
-timeout 2400 python evaluation_scripts/eval_synthetic.py \
-    --ckpt weights/droid_synth.npz --seeds 11 12 13 14 --motion 0.12 \
+timeout 3600 python evaluation_scripts/eval_synthetic.py \
+    --ckpt weights/droid_synth.npz --seeds 11 12 13 14 15 16 17 18 \
+    --motion 0.12 --size 96 128 \
     --compare 2>&1 | tee $L/eval_onchip.log | grep -aE "^seed|median|ratio"
 
 echo "=== 8. distributed-BA scaling table (compact path, virtual mesh) ==="

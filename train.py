@@ -136,7 +136,9 @@ def _synthetic_dataset(cfg):
                     ))
 
         def sample_batches(self, batch_size, rng=None, shuffle=True):
-            rs = np.random.default_rng(0)
+            # the trainer passes an rng derived from (seed, resume step)
+            # so resumed runs continue the stream instead of replaying it
+            rs = rng if rng is not None else np.random.default_rng(0)
             N = cfg.n_frames
             H, W = cfg.image_size
             # scale diversity: a share of batches are random 8-aligned
