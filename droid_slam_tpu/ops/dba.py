@@ -50,8 +50,12 @@ from .gathers import take_rows
 # Gauss-Newton assembly precision: HIGH (3-pass bf16) accumulates in f32
 # and recovers ~f32-faithful products at roughly half the MXU cost of
 # HIGHEST (6-pass) — the difference is far below the damping floor of the
-# solve.  The Cholesky itself stays f32.
-_HIGH = jax.lax.Precision.HIGH
+# solve.  The Cholesky itself stays f32.  This constant is THE precision
+# for GN assembly everywhere: parallel/dba.py imports it so single-device
+# and distributed global BA solve bit-identical systems
+# (tests/test_parallel.py checks the parity).
+GN_PRECISION = jax.lax.Precision.HIGH
+_HIGH = GN_PRECISION
 
 ALPHA = 0.05          # RGB-D prior strength (droid_kernels.cu:1394)
 W_SCALE = 0.001       # residual weight scale (droid_kernels.cu:305)

@@ -27,7 +27,9 @@ from ..lie import se3
 from ..ops import dba as dba_ops
 from ..ops.gathers import take_rows
 
-_HIGH = jax.lax.Precision.HIGHEST
+# shared with the single-device solver so local and distributed global
+# BA assemble the same system at the same matmul precision (ADVICE r2)
+_HIGH = dba_ops.GN_PRECISION
 
 
 def _partition_frames(ii, edge_mask, t0, t1, n_shards):

@@ -541,7 +541,9 @@ class FactorGraph:
         ii_i = np.zeros(self.I, np.int32)
         jj_i = np.zeros(self.I, np.int32)
         mask_i = np.zeros(self.I, bool)
-        sel = np.nonzero(m)[0]
+        # keep the newest I inactive edges if more pass the recency
+        # filter than the fixed-size arrays hold (long sessions)
+        sel = np.nonzero(m)[0][-self.I:]
         ii_i[: len(sel)] = self.ii_inac[sel]
         jj_i[: len(sel)] = self.jj_inac[sel]
         mask_i[: len(sel)] = True

@@ -686,12 +686,18 @@ def fused_caps(cfg):
     SRCP = 8
     TGTP = int(np.ceil((window + 7) / 8) * 8)
     GC = max(48, cfg.frontend_max_factors)
-    P = K = max(32, int(np.ceil((window + 10) / 8) * 8))
     # _build_kx silently truncates members beyond K (no raising inside
-    # jit, unlike ops/dba.build_schur_tables).  Frontend edges live in
-    # [t1-window, t1) and the BA mask keeps ii >= t0-3, so the member
-    # count is bounded by window + 3 — keep the static margin provable
-    assert K >= window + 4, (K, window)
+    # jit, unlike ops/dba.build_schur_tables).  The true member bound:
+    # reversed proximity pairs put active ii as low as t1-window at
+    # insertion; an edge ages +1 per update round and is retired when
+    # age > max_age, so it survives ceil((max_age+1)/iters1) further
+    # keyframes (iters1 is the minimum rounds per keyframe — the cull
+    # branch skips iters2), each sliding the window forward by one;
+    # recent-inactive edges add up to 3 frames below t0.
+    survive = int(np.ceil((cfg.max_age + 1) / max(1, cfg.frontend_iters1)))
+    kmax = window + 3 + survive
+    P = K = max(32, int(np.ceil(kmax / 8) * 8))
+    assert K >= kmax, (K, kmax, window, cfg.max_age, cfg.frontend_iters1)
     EA = max(64, int(np.ceil((cfg.frontend_max_factors + 16) / 8) * 8))
     EI = cfg.frontend_edge_cap
     return SRCP, TGTP, GC, P, K, EA, EI

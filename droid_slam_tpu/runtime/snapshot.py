@@ -89,6 +89,22 @@ def load_session(path, droid):
     })
     video.counter = int(data["counter"])
 
+    # fail loudly on frontend-type mismatch (ADVICE r2): a fused-frontend
+    # snapshot carries gstate_* keys, a host-graph one carries graph_*;
+    # restoring into the wrong Droid would AttributeError or silently
+    # skip the graph restore
+    if hasattr(droid, "frontend"):
+        if "gstate_ii" in data and not hasattr(droid.frontend, "gstate"):
+            raise ValueError(
+                "snapshot was saved with fused=True; this Droid was "
+                "built with fused=False — rebuild with fused=True"
+            )
+        if "graph_ii" in data and not hasattr(droid.frontend, "graph"):
+            raise ValueError(
+                "snapshot was saved with fused=False; this Droid was "
+                "built with fused=True — rebuild with fused=False"
+            )
+
     if "gstate_ii" in data and hasattr(droid, "frontend"):
         g = droid.frontend.gstate
         droid.frontend.gstate = g.replace(**{

@@ -199,7 +199,10 @@ class LiveViewer:
     browser's poll interval — the SLAM loop is never blocked.
     """
 
-    def __init__(self, snapshot_fn, port=8080, host="0.0.0.0"):
+    def __init__(self, snapshot_fn, port=8080, host="127.0.0.1"):
+        # loopback by default: the snapshot exposes keyframe imagery and
+        # the reconstructed map — pass host="0.0.0.0" explicitly to
+        # serve other machines (ADVICE r2)
         self.snapshot_fn = snapshot_fn
         outer = self
 
@@ -264,10 +267,10 @@ class LiveViewer:
         self.server.server_close()
 
 
-def start_viewer(video, port=8080, **filter_kw):
+def start_viewer(video, port=8080, host="127.0.0.1", **filter_kw):
     """Serve a live view of a DepthVideo's map; returns the LiveViewer."""
     viewer = LiveViewer(
-        lambda: map_snapshot(video, **filter_kw), port=port
+        lambda: map_snapshot(video, **filter_kw), port=port, host=host
     )
     print(f"live map viewer: http://localhost:{viewer.port}/", flush=True)
     return viewer

@@ -43,7 +43,7 @@ def main():
 
     from droid_slam_tpu.config import PRESETS
     from droid_slam_tpu.data.tartan import NED_PERMUTATION
-    from droid_slam_tpu.geom.align import ate_rmse, rpe
+    from droid_slam_tpu.geom.align import ate_rmse, kitti_metric, rpe
     from droid_slam_tpu.runtime.slam import Droid
 
     cfg = PRESETS["tartanair"]
@@ -61,8 +61,14 @@ def main():
 
     ate = ate_rmse(gt[:, :3], traj[:, :3], correct_scale=True)
     r = rpe(gt[:, :3], traj[:, :3])
+    # TartanAir protocol also reports the KITTI segment-drift pair on
+    # the ATE-aligned estimate (tartanair_evaluator.py:45-70)
+    k_rot, k_tra = kitti_metric(gt[:, :7], traj[:, :7],
+                                align=True, correct_scale=True)
     print(f"TartanAir {osp.basename(args.datapath)}: "
-          f"ATE = {ate:.4f}  RPE(t) = {r:.4f} over {len(traj)} poses")
+          f"ATE = {ate:.4f}  RPE(t) = {r:.4f}  "
+          f"KITTI = ({k_rot:.4f} deg/m, {k_tra:.4f} m/m) "
+          f"over {len(traj)} poses")
 
 
 if __name__ == "__main__":

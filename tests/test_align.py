@@ -45,6 +45,72 @@ class TestUmeyama:
         assert all(j != 1 for _, j in m)
 
 
+class TestKittiMetric:
+    """Hand-computed cases for the TartanAir KITTI segment metric
+    (reference evaluate_kitti.py:45-107 semantics)."""
+
+    def _straight(self, n=60, step=1.0):
+        traj = np.zeros((n, 7))
+        traj[:, 0] = step * np.arange(n)
+        traj[:, 6] = 1.0  # identity quaternion, scalar last
+        return traj
+
+    def test_zero_for_identical(self):
+        gt = self._straight()
+        rot, tra = align.kitti_metric(gt, gt.copy(), align=False)
+        assert rot == pytest.approx(0.0, abs=1e-9)
+        assert tra == pytest.approx(0.0, abs=1e-9)
+
+    def test_translation_drift_hand_computed(self):
+        # gt: 1 m/frame along x; est: 1.1 m/frame.  dist[i]=i, so a
+        # segment of nominal length L ends at the FIRST frame strictly
+        # beyond L meters = f+L+1 (the reference's > test,
+        # evaluate_kitti.py:20-23), i.e. actual span L+1 m and drift
+        # 0.1(L+1); normalized by the nominal L.
+        gt = self._straight()
+        est = self._straight(step=1.1)
+        lengths = (5, 10, 15, 20)
+        rot, tra = align.kitti_metric(gt, est, lengths=lengths, align=False)
+        expect = np.mean([0.1 * (L + 1) / L for L in lengths])
+        assert rot == pytest.approx(0.0, abs=1e-9)
+        assert tra == pytest.approx(expect, rel=1e-9)
+
+    def test_rotation_drift_hand_computed(self):
+        # est yaws by theta per frame: segment rotation error is
+        # (L+1)*theta over the L+1-frame span, /L, in degrees
+        theta = 0.002
+        gt = self._straight()
+        est = self._straight()
+        ang = theta * np.arange(len(est))
+        est[:, 5] = np.sin(ang / 2)   # qz
+        est[:, 6] = np.cos(ang / 2)   # qw
+        lengths = (5, 10)
+        rot, tra = align.kitti_metric(gt, est, lengths=lengths, align=False)
+        expect = np.degrees(np.mean([theta * (L + 1) / L for L in lengths]))
+        assert rot == pytest.approx(expect, rel=1e-6)
+
+    def test_alignment_absorbs_similarity(self):
+        rng = np.random.default_rng(4)
+        gt = self._straight()
+        gt[:, 1] = np.cumsum(0.3 * rng.standard_normal(len(gt)))
+        from scipy.spatial.transform import Rotation
+        Rr = Rotation.random(random_state=5)
+        R = Rr.as_matrix()
+        est = gt.copy()
+        est[:, :3] = 1.6 * (R @ gt[:, :3].T).T + np.array([3.0, -1.0, 2.0])
+        est[:, 3:7] = Rr.as_quat()  # consistent rotations: R @ identity
+        rot, tra = align.kitti_metric(gt, est, align=True, correct_scale=True)
+        # a consistent similarity transform of the gt trajectory is fully
+        # absorbed by the Umeyama alignment — both drifts vanish
+        assert rot < 1e-6 and tra < 1e-6
+
+    def test_rpe_pose_identity(self):
+        gt = self._straight()
+        rot, tra = align.rpe_pose(gt, gt.copy())
+        assert rot == pytest.approx(0.0, abs=1e-9)
+        assert tra == pytest.approx(0.0, abs=1e-9)
+
+
 class TestLosses:
     def _setup(self):
         rng = np.random.default_rng(3)
