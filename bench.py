@@ -35,6 +35,86 @@ def synth_frame(t, rng):
     return np.stack([img] * 3, axis=-1)
 
 
+def _relay_state():
+    """Best-effort snapshot of the axon relay's host-side state for the
+    watchdog diagnostic: is the relay process alive, which tunnel ports
+    have listeners."""
+    import subprocess
+    state = {}
+    try:
+        out = subprocess.run(["ps", "ax", "-o", "pid=,comm=,args="],
+                             capture_output=True, text=True, timeout=10)
+        state["relay_procs"] = [
+            ln.strip() for ln in out.stdout.splitlines()
+            if "tpu_init" in ln or "axon" in ln.lower()
+        ][:5]
+    except Exception as e:  # pragma: no cover - diagnostic only
+        state["relay_procs_error"] = repr(e)
+    try:
+        out = subprocess.run(["ss", "-tln"], capture_output=True,
+                             text=True, timeout=10)
+        state["listeners"] = [
+            ln.split()[3] for ln in out.stdout.splitlines()[1:]
+        ][:20]
+    except Exception as e:  # pragma: no cover
+        state["listeners_error"] = repr(e)
+    return state
+
+
+def _wait_for_accelerator(probes=4, probe_timeout_s=240, backoff_s=300,
+                          log_path="runs/bench_watchdog.jsonl"):
+    """Probe device enumeration in a subprocess, retrying with backoff.
+
+    Returns True once a probe sees >=1 device; after `probes` failures
+    returns False.  Every attempt (and the relay's host state) is
+    appended to `log_path` so a dead-relay bench run leaves a diagnostic
+    artifact instead of just an exit code (round-2 verdict item 10).
+    """
+    import os
+    import subprocess
+    import sys
+
+    os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+    probe_src = ("import jax; print('NDEV=%d' % len(jax.devices()), "
+                 "flush=True)")
+    for attempt in range(1, probes + 1):
+        t0 = time.time()
+        rec = {"ts": t0, "attempt": attempt, "probes": probes,
+               "timeout_s": probe_timeout_s}
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe_src], capture_output=True,
+                text=True, timeout=probe_timeout_s,
+            )
+            ok = "NDEV=" in out.stdout and int(
+                out.stdout.split("NDEV=")[1].split()[0]) >= 1
+            rec.update(ok=ok, rc=out.returncode,
+                       stdout=out.stdout[-500:], elapsed=time.time() - t0)
+        except subprocess.TimeoutExpired:
+            ok = False
+            rec.update(ok=False, rc=None, timed_out=True,
+                       elapsed=time.time() - t0)
+        if not ok:
+            rec["relay"] = _relay_state()
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if ok:
+            print(f"bench watchdog: accelerator up (attempt {attempt})",
+                  file=sys.stderr, flush=True)
+            return True
+        print(f"bench watchdog: probe {attempt}/{probes} failed "
+              f"({rec.get('elapsed', 0):.0f}s); relay "
+              f"{'absent' if not rec['relay'].get('relay_procs') else 'seen'}",
+              file=sys.stderr, flush=True)
+        if attempt < probes:
+            time.sleep(backoff_s)
+    print("bench: accelerator unreachable after "
+          f"{probes} probes (~{(probes * probe_timeout_s + (probes - 1) * backoff_s) / 60:.0f} min) "
+          "— tunnel/relay down; see runs/bench_watchdog.jsonl",
+          file=sys.stderr, flush=True)
+    return False
+
+
 def main():
     import argparse
 
@@ -52,24 +132,13 @@ def main():
     args.chunk = max(1, min(args.chunk, 40))
 
     # device-liveness watchdog: a dead axon relay makes jax.devices()
-    # block forever inside the PJRT client — fail fast and loudly
-    # instead of hanging the benchmark driver
-    import sys as _sys
-    import threading
-
-    _probe_ok = []
-
-    def _probe():
-        import jax as _jax
-        _probe_ok.append(len(_jax.devices()))
-
-    th = threading.Thread(target=_probe, daemon=True)
-    th.start()
-    th.join(timeout=600)
-    if not _probe_ok:
-        print("bench: accelerator unreachable (device enumeration timed "
-              "out after 600 s — tunnel/relay down?)", file=_sys.stderr,
-              flush=True)
+    # block forever inside the PJRT client.  Probe in a SUBPROCESS (an
+    # in-process probe that blocks poisons the backend-init lock and can
+    # never be retried) with bounded retry-with-backoff — the relay has
+    # been observed to flap and come back minutes later — and leave a
+    # diagnostic artifact either way.
+    if not _wait_for_accelerator(probes=4, probe_timeout_s=240,
+                                 backoff_s=300):
         raise SystemExit(3)
 
     import jax
