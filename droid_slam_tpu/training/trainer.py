@@ -52,7 +52,8 @@ def restore_checkpoint(path, state):
 
 
 def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
-          log_every=10, seed=0, edge_cap=None, resume=None):
+          log_every=10, seed=0, edge_cap=None, resume=None,
+          init_npz=None, start_step=None):
     """Run training over `dataset` (any object with sample_batches()).
 
     Edge lists are padded to a static capacity and passed as traced
@@ -73,6 +74,29 @@ def train(cfg: TrainConfig, dataset, mesh=None, max_steps=None,
         state = restore_checkpoint(resume, state)
         print(f"resumed from {resume} at step {int(state.step)}",
               flush=True)
+    elif init_npz:
+        # warm-start from exported npz weights with a FRESH optimizer:
+        # the fallback path when the orbax train-state dir is gone (it
+        # lives under the gitignored checkpoints/, so only the exported
+        # weights survive across environments).  `start_step` labels the
+        # run's provenance (e.g. 105000 for weights/droid_synth.npz) and
+        # advances the data stream past what the source run consumed.
+        from ..models.convert import load_npz_weights
+
+        loaded = load_npz_weights(init_npz)
+        ref = jax.tree.structure(state.params["params"])
+        got = jax.tree.structure(loaded["params"])
+        if ref != got:
+            raise ValueError(
+                f"npz param tree mismatch: {init_npz} does not match "
+                f"DroidNet (did the architecture change?)")
+        params = {"params": jax.tree.map(jnp.asarray, loaded["params"])}
+        state = TrainState(
+            params=params, opt_state=tx.init(params["params"]),
+            step=jnp.asarray(int(start_step or 0), jnp.int32),
+        )
+        print(f"warm-started from {init_npz} at step {int(state.step)} "
+              f"(fresh optimizer)", flush=True)
     logger = Logger(cfg.name)
 
     # derive the data/graph randomness from (seed, resume step): a

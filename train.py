@@ -21,6 +21,12 @@ def main():
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated textured-plane scenes")
     p.add_argument("--ckpt", default=None, help="resume checkpoint dir")
+    p.add_argument("--init_npz", default=None,
+                   help="warm-start params from an exported weights npz "
+                        "(fresh optimizer; use when the orbax train-state "
+                        "dir is unavailable)")
+    p.add_argument("--start_step", type=int, default=None,
+                   help="provenance step label for --init_npz runs")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--steps", type=int, default=250000)
     p.add_argument("--lr", type=float, default=2.5e-4)
@@ -71,7 +77,8 @@ def main():
     print(f"training on {len(devices)} device(s); "
           f"{len(dataset) if hasattr(dataset, '__len__') else '?'} samples")
 
-    train(cfg, dataset, mesh=mesh, max_steps=args.steps, resume=args.ckpt)
+    train(cfg, dataset, mesh=mesh, max_steps=args.steps, resume=args.ckpt,
+          init_npz=args.init_npz, start_step=args.start_step)
 
 
 def _synthetic_dataset(cfg):
