@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--logdir", default="runs/profile_chunk")
     ap.add_argument("--size", type=int, nargs=2, default=(240, 320))
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="if >0, trace the micro-batched track_batch "
+                         "program (bench mode) with this many frames per "
+                         "dispatch instead of the per-frame program")
     args = ap.parse_args()
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
@@ -62,21 +66,40 @@ def main():
     warm = args.frames
     print(f"warmup: {warm} frames (compiles)...", flush=True)
     t = 0
-    for _ in range(warm):
+    for _ in range(warm - (args.chunk or 0)):
         droid.track(t, frame(t), intrinsics=intr)
         t += 1
-    droid.frontend.sync() if hasattr(droid.frontend, "sync") else None
+
+    def hard_sync():
+        _ = float(np.asarray(droid.video.state.poses[0, 0]))
+
+    if args.chunk:
+        # compile + warm the chunked program outside the trace
+        ts = list(range(t, t + args.chunk))
+        droid.track_batch(ts, [frame(x) for x in ts], intrinsics=intr)
+        t += args.chunk
+        droid._sync()
+    if hasattr(droid.frontend, "sync"):
+        droid.frontend.sync()
+    hard_sync()
     print("warm; tracing...", flush=True)
 
     jax.profiler.start_trace(args.logdir)
     t0 = time.perf_counter()
-    for _ in range(args.frames):
-        droid.track(t, frame(t), intrinsics=intr)
-        t += 1
-    if hasattr(droid.frontend, "sync"):
-        droid.frontend.sync()
+    if args.chunk:
+        for c in range(0, args.frames, args.chunk):
+            ts = list(range(t, t + args.chunk))
+            droid.track_batch(ts, [frame(x) for x in ts], intrinsics=intr)
+            t += args.chunk
+        droid._sync()
+    else:
+        for _ in range(args.frames):
+            droid.track(t, frame(t), intrinsics=intr)
+            t += 1
+        if hasattr(droid.frontend, "sync"):
+            droid.frontend.sync()
     # force completion through the relay
-    _ = float(np.asarray(droid.video.state.poses[0, 0]))
+    hard_sync()
     dt = time.perf_counter() - t0
     jax.profiler.stop_trace()
     print(f"traced {args.frames} frames in {dt:.2f}s "
