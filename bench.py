@@ -125,9 +125,13 @@ def main():
     ap.add_argument("--depth_cap", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=20,
                     help="frames per streaming dispatch (1..40: the warm "
-                         "phase needs chunk <= n_warm and the 96-slot "
-                         "buffer bounds warm+bench keyframes)")
-    ap.add_argument("--buffer", type=int, default=96)
+                         "phase needs chunk <= n_warm and the buffer "
+                         "bounds warm+bench keyframes)")
+    ap.add_argument("--buffer", type=int, default=192)
+    ap.add_argument("--bench_frames", type=int, default=60,
+                    help="measured window; 3 chunks lets the 2nd/3rd "
+                         "chunk's ~0.8 s image upload through the relay "
+                         "overlap the previous chunk's compute")
     args = ap.parse_args()
     args.chunk = max(1, min(args.chunk, 40))
 
@@ -173,9 +177,9 @@ def main():
     intr = np.asarray([265.0, 265.0, W / 2, H / 2], np.float32)
 
     n_warm = 40       # init at warmup=8 + enough frames to cross every
-    n_bench = 40      # power-of-2 shape bucket the bench window touches,
-                      # so no compile lands in the measured interval;
-                      # 40 bench frames = 2 chunked dispatches
+                      # power-of-2 shape bucket the bench window touches,
+                      # so no compile lands in the measured interval
+    n_bench = args.bench_frames
     # round the bench window up to whole dispatch chunks
     n_bench = ((n_bench + args.chunk - 1) // args.chunk) * args.chunk
 

@@ -26,6 +26,18 @@ from ..lie import se3
 
 MIN_DEPTH = 0.2
 
+
+def _matmul_small(A, B):
+    """Batched (..., m, k) @ (..., k, n) for tiny trailing dims.
+
+    XLA lowers a dot_general whose contraction/output dims are tiny (2/4/6)
+    over huge batch dims (B,E,H,W) to an MXU-hostile T(2,128)-tiled op
+    wrapped in layout-conversion copies — profiled at ~2/3 of the whole BA
+    linearization cost on v5e.  A broadcast multiply + sum stays a single
+    VPU loop fusion with layout chosen by the consumer, no copies.
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
 # fixed stereo baseline used for ii == jj (rig) edges, matching the
 # reference's hard-coded value (projective_ops.py:105)
 STEREO_TX = -0.1
@@ -172,7 +184,7 @@ def projective_transform(
     if not jacobian:
         return x1, valid
 
-    Jj = Jp @ Ja                                   # (B,E,H,W,2,6)
+    Jj = _matmul_small(Jp, Ja)                     # (B,E,H,W,2,6)
     Ji = -se3.adjT(Gij[..., None, None, None, :], Jj)
     # depth Jacobian: G acting on [0,0,0,1] is [t, 1]; project through Jp.
     Jz_pt = se3.act(
@@ -181,7 +193,7 @@ def projective_transform(
             [jnp.zeros_like(X0[..., :3]), jnp.ones_like(X0[..., 3:4])], axis=-1
         ),
     )
-    Jz = (Jp @ Jz_pt[..., None])                   # (B,E,H,W,2,1)
+    Jz = _matmul_small(Jp, Jz_pt[..., None])       # (B,E,H,W,2,1)
     return x1, valid, (Ji, Jj, Jz)
 
 

@@ -184,8 +184,8 @@ def lookup_level_patch(volume_level, coords, radius=RADIUS):
     return taps.reshape(B, N, H, W, rd * rd)
 
 
-def lookup_level_onehot(volume_level, coords, radius=RADIUS):
-    """Gather-free lookup: weighted one-hot selectors + batched matmuls.
+def lookup_level_onehot_flat(vol, coords, radius=RADIUS):
+    """Gather-free lookup on a pre-flattened (Q, h2, w2) volume.
 
     TPU XLA lowers gathers to near-scalar loops (hundreds of ms for a
     frontend-sized lookup), but the windowed bilinear sample is separable:
@@ -198,20 +198,22 @@ def lookup_level_onehot(volume_level, coords, radius=RADIUS):
     magnitude faster than the gather forms, with identical semantics
     (out-of-bounds rows/cols simply never match the selector → exact
     zero-contribution border handling).
+
+    Args:
+      vol: (Q, h2, w2) per-query correlation planes.
+      coords: (Q, 2) float [x, y] in level units.
+    Returns:
+      (Q, (2r+1)²) taps, x-offset-major channel order.
     """
-    B, N, H, W, h2, w2 = volume_level.shape
+    Q, h2, w2 = vol.shape
     r = radius
     rd = 2 * r + 1
-    Q = B * N * H * W
 
-    vol = volume_level.reshape(Q // (H * W), H * W, h2, w2)
-    vol = vol.reshape(Q, h2, w2)
-
-    c = coords.reshape(Q, 2)
+    c = coords
     x0 = jnp.floor(c[..., 0])
     y0 = jnp.floor(c[..., 1])
-    dx = (c[..., 0] - x0).astype(volume_level.dtype)
-    dy = (c[..., 1] - y0).astype(volume_level.dtype)
+    dx = (c[..., 0] - x0).astype(vol.dtype)
+    dy = (c[..., 1] - y0).astype(vol.dtype)
 
     offs = jnp.arange(rd, dtype=jnp.int32) - r                 # (rd,)
 
@@ -221,8 +223,8 @@ def lookup_level_onehot(volume_level, coords, radius=RADIUS):
         grid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
         t = tgt[:, :, None]
         return (
-            (grid == t).astype(volume_level.dtype) * (1 - frac)[:, None, None]
-            + (grid == t + 1).astype(volume_level.dtype) * frac[:, None, None]
+            (grid == t).astype(vol.dtype) * (1 - frac)[:, None, None]
+            + (grid == t + 1).astype(vol.dtype) * frac[:, None, None]
         )
 
     Sy = selector(y0, dy, h2)                                  # (Q, rd, h2)
@@ -236,12 +238,60 @@ def lookup_level_onehot(volume_level, coords, radius=RADIUS):
     T1 = jnp.einsum("qky,qyx->qkx", Sy, vol,
                     precision=LOOKUP_PRECISION,
                     preferred_element_type=jnp.float32)
-    taps = jnp.einsum("qkx,qlx->qkl", T1.astype(volume_level.dtype), Sx,
+    taps = jnp.einsum("qkx,qlx->qkl", T1.astype(vol.dtype), Sx,
                       precision=LOOKUP_PRECISION,
                       preferred_element_type=jnp.float32)
     # taps[oy, ox] -> x-major channel layout
     taps = jnp.swapaxes(taps, -1, -2)
-    return taps.reshape(B, N, H, W, rd * rd)
+    return taps.reshape(Q, rd * rd)
+
+
+def lookup_level_onehot(volume_level, coords, radius=RADIUS):
+    """Windowed one-hot lookup on a (B, N, H, W, h2, w2) pyramid level
+    (see lookup_level_onehot_flat for the TPU formulation)."""
+    B, N, H, W, h2, w2 = volume_level.shape
+    Q = B * N * H * W
+    # explicit Q (not -1): tiny training pyramids can reach zero-size
+    # levels (h2 = w2 = 0), where -1 is unresolvable
+    taps = lookup_level_onehot_flat(
+        volume_level.reshape(Q, h2, w2), coords.reshape(Q, 2), radius
+    )
+    return taps.reshape(B, N, H, W, taps.shape[-1])
+
+
+def lookup_pyramid_flat(vols, coords, radius=RADIUS, view=None):
+    """Pyramid lookup over pre-flattened cached volumes.
+
+    The fused frontend caches the per-edge volume pyramid across a
+    keyframe's update rounds; storing it pre-flattened as (Q, h2, w2)
+    lets every round's lookup consume it directly — profiled on v5e, the
+    6-D cached form cost a full relayout copy of levels 0-1 per round
+    (~5 ms/frame) because the (1,E,H,W,h2,w2) reshape inside the lookup
+    could not be a bitcast of the einsum-produced layout.
+
+    Args:
+      vols: list of (Q, h2_l, w2_l) planes, level 0 first.
+      coords: (Q, 2) float [x, y] at level-0 resolution.
+      view: optional (B, N, H, W) logical shape, used to rebuild the 6-D
+        view for non-onehot lookup impls (e.g. the Pallas kernel).
+    Returns:
+      (Q, L·(2r+1)²) fp32 taps, level-major channel order.
+    """
+    outs = []
+    for l, v in enumerate(vols):
+        c = coords / (2.0 ** l)
+        if lookup_level_impl is lookup_level_onehot:
+            outs.append(lookup_level_onehot_flat(v, c, radius))
+        else:
+            Q, h2, w2 = v.shape
+            shape = view if view is not None else (1, 1, Q, 1)
+            outs.append(
+                lookup_level_impl(
+                    v.reshape(shape + (h2, w2)), c.reshape(shape + (2,)),
+                    radius,
+                ).reshape(Q, -1)
+            )
+    return jnp.concatenate(outs, axis=-1)
 
 
 # active lookup implementation (onehot-matmul: fastest on TPU, no gathers)

@@ -454,7 +454,9 @@ def _volume_cache_fits(cfg, EA, ht, wd):
 def make_edge_volumes(cfg, EA, ht, wd):
     """Per-edge correlation-volume pyramid builder (one MXU einsum per
     level), cached for the whole keyframe step.  Returns
-    list[(1, EA, ht, wd, h2_l, w2_l) bf16]."""
+    list[(EA·ht·wd, h2_l, w2_l) bf16] — pre-flattened to the lookup's
+    query layout so no per-round reshape/relayout survives (see
+    corr.lookup_pyramid_flat)."""
     rig = 2 if cfg.stereo else 1
 
     def build(gstate, fmap_pyr):
@@ -471,7 +473,7 @@ def make_edge_volumes(cfg, EA, ht, wd):
                 "epc,eqc->epq", f1f, f2.reshape(EA, h2 * w2, -1),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)
-            vols.append(v.reshape(1, EA, ht, wd, h2, w2))
+            vols.append(v.reshape(EA * ht * wd, h2, w2))
         return vols
 
     return build
@@ -528,15 +530,12 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
 
             if vols is not None:
                 # cached-volume lookup: the expensive volume einsums ran
-                # once per keyframe step, not once per round
-                # late-bound module attribute: set_lookup_impl can route
-                # this to the Pallas kernel (cfg.lookup_impl)
-                corr = jnp.concatenate([
-                    corr_ops.lookup_level_impl(
-                        v, (coords1 / (2.0 ** l))[None]
-                    )[0]
-                    for l, v in enumerate(vols)
-                ], axis=-1)
+                # once per keyframe step, not once per round; flat form
+                # avoids any per-round relayout.  Non-onehot impls (e.g.
+                # the Pallas kernel via set_lookup_impl) get the 6-D view.
+                corr = corr_ops.lookup_pyramid_flat(
+                    vols, coords1.reshape(-1, 2), view=(1, EA, ht, wd)
+                ).reshape(EA, ht, wd, -1)
             else:
                 f1 = take_rows(
                     fmap_pyr[0], rig * ii_a
@@ -1097,7 +1096,14 @@ class FusedFrontend:
         self._since_sync += B
         near_full = (self.video.counter + self._since_sync
                      >= self.cfg.buffer - 2)
-        if self._since_sync >= 16 or near_full:
+        # let a few chunks stay in flight before blocking on the flags
+        # readback: the profiler showed a sync after EVERY chunk leaves
+        # the device idle ~1.2 s per chunk through the axon relay (the
+        # next chunk's ~0.8 s image upload cannot overlap compute).  The
+        # pre-dispatch overflow guard above stays conservative (counts
+        # every unsynced frame as a potential keyframe), so correctness
+        # does not depend on the cadence.
+        if self._since_sync >= max(16, 3 * B) or near_full:
             self.sync()
 
     def sync(self):
