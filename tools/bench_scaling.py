@@ -78,6 +78,35 @@ def main():
     def force(x):
         return float(jnp.sum(x[0]))
 
+    HW = ht * wd
+    BYTES = 4  # f32 on the wire
+
+    def cost_model(n, E_used, K_used, Dp):
+        """Analytic per-iteration cost of one shard vs the psum payload.
+
+        FLOP counts are the dominant einsum contractions of
+        parallel/dba.py (2 flops per MAC):
+          linearize   E·HW·(12·12·2 JtWJ + ~60 jacobian chain)
+          E build     E·nch·(Dp·6)·HW      (chunk_E_compact "eah,ecd")
+          S_loc       Kpad·HW·(6·Dp)²      ("cdah,cfbh->dafb")
+        Communication is ONE psum of the dense pose system plus the
+        disjoint-frame depth merge, independent of n:
+          bytes = (6P)² + 6P + buf·HW   (per GN iteration)
+        """
+        nch = (K_used + CK - 1) // CK
+        kpad = nch * CK
+        lin = E_used * HW * (2 * 144 + 60) * 2
+        ebuild = E_used * nch * Dp * 6 * HW * 2
+        sloc = kpad * HW * (6 * Dp) ** 2 * 2
+        comm = BYTES * ((6 * P_cap) ** 2 + 6 * P_cap + BUF * HW)
+        return {
+            "shard_flops_per_iter": int(lin + ebuild + sloc),
+            "psum_bytes_per_iter": int(comm),
+            "shard_edges": int(E_used),
+            "shard_frames": int(K_used),
+            "Dp": int(Dp),
+        }
+
     n_dev_avail = len(jax.devices())
     results = []
     base_time = None
@@ -119,12 +148,39 @@ def main():
         if base_time is None:
             base_time = dt
         eff = base_time / (dt * 1)  # fixed-size problem: time ratio
+        E_used = int(np.max(np.sum(shards[4], axis=1)))
+        K_used = int(np.max(np.sum(shards[6], axis=1)))
+        Dp = tabs[2] if args.compact else P_cap
         results.append({
             "devices": n, "ms_per_iteration": round(dt * 1e3, 2),
             "efficiency_vs_1dev": round(eff, 3),
+            **cost_model(n, E_used, K_used, Dp),
         })
         print(json.dumps(results[-1]), flush=True)
         n *= 2
+
+    # analytic model at the reference's production scale (VERDICT r2 #6):
+    # 500 kf / 8k edges / 384x512 (48x64 at 1/8 res).  Dp for a contiguous
+    # partition of a temporally-local graph is bounded by the chunk span
+    # plus the proximity window; we use 32, the value this run's tables
+    # measured at radius 6 (printed above), as a conservative stand-in.
+    print("\nanalytic model @ 500 kf / 8k edges / 384x512 "
+          "(compact Schur, CK=8, Dp=32):", flush=True)
+    P_prod, E_prod, K_prod, HW_prod, BUF_prod = 512, 8000, 500, 48 * 64, 504
+    Dp_prod = 32
+    for nd in (1, 2, 4, 8):
+        Es, Ks = (E_prod + nd - 1) // nd, (K_prod + nd - 1) // nd
+        nch = (Ks + 8 - 1) // 8
+        lin = Es * HW_prod * (2 * 144 + 60) * 2
+        ebuild = Es * nch * Dp_prod * 6 * HW_prod * 2
+        sloc = nch * 8 * HW_prod * (6 * Dp_prod) ** 2 * 2
+        comm = 4 * ((6 * P_prod) ** 2 + 6 * P_prod + BUF_prod * HW_prod)
+        print(json.dumps({
+            "devices": nd,
+            "shard_tflops_per_iter": round((lin + ebuild + sloc) / 1e12, 3),
+            "psum_MB_per_iter": round(comm / 1e6, 2),
+            "flops_to_bytes_ratio": int((lin + ebuild + sloc) / comm),
+        }), flush=True)
 
     return results
 
