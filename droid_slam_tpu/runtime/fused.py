@@ -1047,6 +1047,17 @@ class FusedFrontend:
         if self._since_sync >= 16 or near_full:
             self.sync()
 
+    def prefetch_frames(self, images):
+        """Begin the host->device upload of a future chunk's images and
+        return the device array for a later track_frames call.  Uploading
+        chunk k+1 while chunk k computes hides the transfer (the dominant
+        per-input-frame cost through the axon relay: ~4.6 MB uint8 per
+        20-frame chunk at 240x320)."""
+        imgs = jnp.asarray(np.stack([np.asarray(im) for im in images]))
+        if imgs.ndim == 4:
+            imgs = imgs[:, None]
+        return imgs
+
     def track_frames(self, tstamps, images, intrinsics=None):
         """Throughput mode: `len(images)` frames in ONE dispatch.
 
@@ -1078,7 +1089,13 @@ class FusedFrontend:
                     f"increase SLAMConfig.buffer"
                 )
 
-        imgs = jnp.asarray(np.stack([np.asarray(im) for im in images]))
+        # accept a pre-uploaded device array (see prefetch_frames): the
+        # caller can overlap the next chunk's host->device image transfer
+        # with this chunk's compute instead of serializing them
+        if isinstance(images, jax.Array):
+            imgs = images
+        else:
+            imgs = jnp.asarray(np.stack([np.asarray(im) for im in images]))
         if imgs.ndim == 4:
             imgs = imgs[:, None]                 # (B, rig=1, H, W, 3)
         disp_sens = jnp.zeros((self.video.fht, self.video.fwd), jnp.float32)

@@ -253,6 +253,48 @@ def test_volume_cache_matches_on_the_fly():
     np.testing.assert_allclose(poses[512], poses[0], atol=1e-3)
 
 
+def test_track_frames_accepts_prefetched_device_images():
+    """track_frames(prefetch_frames(imgs)) must match track_frames(imgs):
+    the double-buffered upload path (bench.py) is a pure transfer-overlap
+    optimization."""
+    import dataclasses
+
+    from droid_slam_tpu.runtime.slam import Droid
+
+    h, w = 64, 96
+    cfg = SLAMConfig(
+        image_size=(h, w), buffer=16, warmup=5, filter_thresh=0.0,
+        frontend_window=8, frontend_edge_cap=64, frontend_pose_cap=32,
+        frontend_depth_cap=32, schur_degree_cap=32,
+    )
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = [
+        np.clip(
+            127 + 60 * np.sin(0.2 * (x + 3 * t)) * np.cos(0.15 * (y + 2 * t))
+            + rng.normal(0, 2, (h, w)), 0, 255,
+        ).astype(np.uint8)[..., None].repeat(3, -1)
+        for t in range(9)
+    ]
+    intr = np.asarray([80.0, 80.0, w / 2, h / 2], np.float32)
+
+    poses = {}
+    for prefetch in (False, True):
+        droid = Droid(dataclasses.replace(cfg), seed=0)
+        for t in range(7):
+            droid.track(t, frames[t], intrinsics=intr)
+        assert droid.frontend.is_initialized
+        chunk = [frames[7], frames[8]]
+        if prefetch:
+            chunk = droid.frontend.prefetch_frames(chunk)
+        droid.track_batch([7.0, 8.0], chunk, intrinsics=intr)
+        droid._sync()
+        n = droid.video.counter
+        poses[prefetch] = np.asarray(droid.video.state.poses[:n])
+
+    np.testing.assert_array_equal(poses[False], poses[True])
+
+
 def test_graph_state_insert_dedup():
     """Candidates already present (active or inactive) must not re-insert;
     fresh candidates take free slots in order."""
