@@ -312,6 +312,9 @@ def set_lookup_impl(name):
     elif name == "pallas":
         from .corr_pallas import lookup_level_pallas
         lookup_level_impl = lookup_level_pallas
+    elif name == "pallas_v2":
+        from .corr_pallas import lookup_level_pallas_v2
+        lookup_level_impl = lookup_level_pallas_v2
     else:
         raise ValueError(f"unknown lookup impl {name!r}")
 

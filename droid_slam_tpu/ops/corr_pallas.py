@@ -148,6 +148,99 @@ def lookup_level_pallas(volume_level, coords, radius=RADIUS):
     return out.reshape(B, N, H, W, rd * rd)
 
 
+def _lookup_kernel_v2(iy_ref, ix_ref, wx_ref, wy_ref, vol_ref, out_ref, *,
+                      rd, W):
+    """Vectorized per-pixel body (v2): one (edge, source-row) program.
+
+    v1 rotated the FULL padded f32 plane twice per pixel (~2·h2p·w2p
+    elements through the VPU per tap window).  v2 extracts only the
+    rd+1 window rows with a dynamic SUBLANE slice (legal in Mosaic,
+    unlike lane-dim dynamic slicing) and rotates that (rd+1, w2p) strip
+    once — ~12x less rotate work per pixel at frontend shapes.
+
+    iy/ix: (1, 1, 1, W) int32 padded window starts (row start clamped to
+           sublane-pair alignment… no: exact, see below).
+    wx/wy: (1, 1, 1, W) f32 fractional parts.
+    vol_ref: (1, 1, W, h2p, w2p) bf16 padded volume planes.
+    out_ref: (1, 1, W, rd, rd) f32 taps, [oy, ox] spatial order.
+    """
+
+    w2p = vol_ref.shape[-1]
+
+    def body(p, _):
+        y0 = iy_ref[0, 0, 0, p]
+        x0 = ix_ref[0, 0, 0, p]
+        dx = wx_ref[0, 0, 0, p]
+        dy = wy_ref[0, 0, 0, p]
+
+        # dynamic sublane slice: only the rd+1 rows the window reads.
+        # Widen to f32 AFTER the slice (Mosaic's dynamic_rotate is
+        # 32-bit-only), then rotate the strip once on the lane axis.
+        rows = vol_ref[0, 0, p, pl.ds(y0, rd + 1), :].astype(jnp.float32)
+        rows = pltpu.roll(rows, w2p - x0, 1)
+        patch = rows[:, : rd + 1]                      # (rd+1, rd+1)
+        tx = (1.0 - dx) * patch[:, :rd] + dx * patch[:, 1:]
+        taps = (1.0 - dy) * tx[:rd, :] + dy * tx[1:, :]
+        out_ref[0, 0, p] = taps                        # [oy, ox]
+        return 0
+
+    jax.lax.fori_loop(0, W, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def lookup_level_pallas_v2(volume_level, coords, radius=RADIUS):
+    """Vectorized Pallas windowed lookup (see _lookup_kernel_v2).
+
+    Same contract as lookup_level_pallas / ops.corr.lookup_level.
+    """
+    B, N, H, W, h2, w2 = volume_level.shape
+    r = radius
+    rd = 2 * r + 1
+    L = rd + 1
+
+    E = B * N
+    vol = volume_level.reshape(E, H, W, h2, w2)
+    h2p = int(np.ceil((h2 + 2 * L) / 8) * 8)
+    w2p = int(np.ceil((w2 + 2 * L) / 128) * 128)
+    vol = jnp.pad(vol, ((0, 0), (0, 0), (0, 0),
+                        (L, h2p - h2 - L), (L, w2p - w2 - L)))
+
+    c = coords.reshape(E, H, W, 2)
+    x0f = jnp.floor(c[..., 0])
+    y0f = jnp.floor(c[..., 1])
+    dx = (c[..., 0] - x0f).astype(jnp.float32)
+    dy = (c[..., 1] - y0f).astype(jnp.float32)
+    ix = jnp.clip(x0f.astype(jnp.int32) - r + L, 0, w2p - (rd + 1))
+    iy = jnp.clip(y0f.astype(jnp.int32) - r + L, 0, h2p - (rd + 1))
+
+    grid = (E, H)
+    out = pl.pallas_call(
+        functools.partial(_lookup_kernel_v2, rd=rd, W=W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, W), lambda e, h: (e, h, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, W), lambda e, h: (e, h, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, W), lambda e, h: (e, h, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, W), lambda e, h: (e, h, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, W, h2p, w2p), lambda e, h: (e, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, W, rd, rd),
+                               lambda e, h: (e, h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, H, W, rd, rd), jnp.float32),
+    )(
+        iy.reshape(E, H, 1, W), ix.reshape(E, H, 1, W),
+        dx.reshape(E, H, 1, W), dy.reshape(E, H, 1, W), vol,
+    )
+    out = jnp.swapaxes(out, -1, -2)   # -> x-offset-major channels
+    return out.reshape(B, N, H, W, rd * rd)
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def lookup_pyramid_pallas(pyramid, coords, radius=RADIUS):
     """Full-pyramid lookup via the Pallas kernel (drop-in replacement for

@@ -14,9 +14,14 @@ def _interpret_ok():
     return jax.default_backend() == "cpu"
 
 
+KERNELS = [corr_pallas.lookup_level_pallas,
+           corr_pallas.lookup_level_pallas_v2]
+
+
 class TestPallasLookup:
+    @pytest.mark.parametrize("kernel", KERNELS)
     @pytest.mark.parametrize("seed", [0, 1])
-    def test_matches_reference(self, seed):
+    def test_matches_reference(self, seed, kernel):
         from jax.experimental.pallas import tpu as pltpu
 
         rng = np.random.default_rng(seed)
@@ -30,19 +35,38 @@ class TestPallasLookup:
 
         expect = corr.lookup_level(vol, coords, radius=3)
         with pltpu.force_tpu_interpret_mode():
-            got = corr_pallas.lookup_level_pallas(vol, coords, radius=3)
+            got = kernel(vol, coords, radius=3)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(expect), atol=1e-4, rtol=1e-4
         )
 
-    def test_far_out_of_bounds_zero(self):
+    @pytest.mark.parametrize("kernel", KERNELS)
+    def test_far_out_of_bounds_zero(self, kernel):
         from jax.experimental.pallas import tpu as pltpu
 
         vol = jnp.ones((1, 1, 2, 3, 6, 6), jnp.float32)
         coords = jnp.full((1, 1, 2, 3, 2), -50.0)
         with pltpu.force_tpu_interpret_mode():
-            got = corr_pallas.lookup_level_pallas(vol, coords, radius=3)
+            got = kernel(vol, coords, radius=3)
         np.testing.assert_allclose(np.asarray(got), 0.0)
+
+    @pytest.mark.parametrize("kernel", KERNELS)
+    def test_bf16_volume_v2(self, kernel):
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(3)
+        vol32 = jnp.asarray(
+            rng.standard_normal((1, 2, 4, 8, 10, 12)), jnp.float32
+        )
+        coords = jnp.asarray(rng.uniform(0, 11, (1, 2, 4, 8, 2)),
+                             jnp.float32)
+        expect = corr.lookup_level(vol32, coords, radius=3)
+        with pltpu.force_tpu_interpret_mode():
+            got = kernel(vol32.astype(jnp.bfloat16), coords, radius=3)
+        assert got.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), atol=0.05, rtol=0.05
+        )
 
     def test_pyramid_matches(self):
         from jax.experimental.pallas import tpu as pltpu

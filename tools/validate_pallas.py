@@ -62,13 +62,19 @@ def main():
             rng.uniform(-3, max(h2, w2) + 2, (1, E, H, W, 2)), jnp.float32
         )
 
-        got = np.asarray(corr_pallas.lookup_level_pallas(vol, coords))
-        want = np.asarray(corr.lookup_level(vol.astype(jnp.float32),
-                                            coords))
-        err = np.max(np.abs(got - want))
-        print(f"L{level} ({h2}x{w2}): max|pallas - gather_ref| = {err:.4g}",
-              flush=True)
-        assert err < 0.05, err
+        # parity reference on chip is the onehot path (itself validated
+        # against the take_along_axis gather on CPU by tests/test_corr.py;
+        # the gather lowers to a near-scalar loop on TPU and takes
+        # minutes at level-0 size)
+        want = np.asarray(jax.jit(corr.lookup_level_onehot)(vol, coords))
+        for kname, kern in (("pallas", corr_pallas.lookup_level_pallas),
+                            ("pallas_v2",
+                             corr_pallas.lookup_level_pallas_v2)):
+            got = np.asarray(kern(vol, coords))
+            err = np.max(np.abs(got - want))
+            print(f"L{level} ({h2}x{w2}): max|{kname} - onehot| = "
+                  f"{err:.4g}", flush=True)
+            assert err < 0.05, (kname, err)
 
     # timing: chained k-round lookups, (t_k - t_1)/(k-1)
     vol = jnp.asarray(
@@ -100,7 +106,8 @@ def main():
         return (time.perf_counter() - t0) / nrep
 
     for name, fn in (("onehot", corr.lookup_level_onehot),
-                     ("pallas", corr_pallas.lookup_level_pallas)):
+                     ("pallas", corr_pallas.lookup_level_pallas),
+                     ("pallas_v2", corr_pallas.lookup_level_pallas_v2)):
         t1 = timed(fn, 1)
         tk = timed(fn, args.k)
         per = (tk - t1) / (args.k - 1)
