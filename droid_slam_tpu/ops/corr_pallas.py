@@ -173,10 +173,18 @@ def _lookup_kernel_v2(iy_ref, ix_ref, wx_ref, wy_ref, vol_ref, out_ref, *,
         dx = wx_ref[0, 0, 0, p]
         dy = wy_ref[0, 0, 0, p]
 
-        # dynamic sublane slice: only the rd+1 rows the window reads.
-        # Widen to f32 AFTER the slice (Mosaic's dynamic_rotate is
-        # 32-bit-only), then rotate the strip once on the lane axis.
-        rows = vol_ref[0, 0, p, pl.ds(y0, rd + 1), :].astype(jnp.float32)
+        # Mosaic requires vector loads to start on a sublane-tile
+        # boundary ("index in dimension 3 is a multiple of 8"): load the
+        # ALIGNED 16-row strip containing the rd+1 window rows, widen to
+        # f32 (Mosaic's dynamic_rotate is 32-bit-only), and roll the
+        # sublanes so row y0 lands at 0.  Still ~6x less rotate work per
+        # pixel than v1's two full-plane rotates.
+        y0a = (y0 // 8) * 8
+        rem = y0 - y0a
+        rows = vol_ref[
+            0, 0, p, pl.ds(pl.multiple_of(y0a, 8), 16), :
+        ].astype(jnp.float32)
+        rows = pltpu.roll(rows, 16 - rem, 0)[: rd + 1]
         rows = pltpu.roll(rows, w2p - x0, 1)
         patch = rows[:, : rd + 1]                      # (rd+1, rd+1)
         tx = (1.0 - dx) * patch[:, :rd] + dx * patch[:, 1:]
@@ -200,7 +208,10 @@ def lookup_level_pallas_v2(volume_level, coords, radius=RADIUS):
 
     E = B * N
     vol = volume_level.reshape(E, H, W, h2, w2)
-    h2p = int(np.ceil((h2 + 2 * L) / 8) * 8)
+    # +8 sublane rows: the kernel loads the aligned 16-row strip around
+    # the window start, so the largest clamped start needs 16 rows of
+    # headroom past it
+    h2p = int(np.ceil((h2 + 2 * L) / 8) * 8) + 8
     w2p = int(np.ceil((w2 + 2 * L) / 128) * 128)
     vol = jnp.pad(vol, ((0, 0), (0, 0), (0, 0),
                         (L, h2p - h2 - L), (L, w2p - w2 - L)))
@@ -211,7 +222,7 @@ def lookup_level_pallas_v2(volume_level, coords, radius=RADIUS):
     dx = (c[..., 0] - x0f).astype(jnp.float32)
     dy = (c[..., 1] - y0f).astype(jnp.float32)
     ix = jnp.clip(x0f.astype(jnp.int32) - r + L, 0, w2p - (rd + 1))
-    iy = jnp.clip(y0f.astype(jnp.int32) - r + L, 0, h2p - (rd + 1))
+    iy = jnp.clip(y0f.astype(jnp.int32) - r + L, 0, h2p - 16)
 
     grid = (E, H)
     out = pl.pallas_call(

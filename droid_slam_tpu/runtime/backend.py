@@ -58,6 +58,33 @@ class Backend:
         max_factors = 16 * t
         pose_cap = _bucket(t)
         import jax.numpy as jnp
+
+        from ..utils.mem import device_mem_stats, log_mem
+
+        # HBM-aware edge cap: the dominant per-edge device state is the
+        # persistent GRU hidden (f16, ht·wd·128 = 786 KB at 48x64) plus
+        # target/weight and the per-sweep reproject/motion transients.
+        # The reference's 16·t policy assumes a 24 GB GPU at buffer=1000
+        # (factor_graph.py:84 keeps fp16 state for every edge); a single
+        # 16 GB v5e binds below that, so cap the graph to what fits and
+        # leave full capacity to the edge-sharded distributed backend
+        # (each shard holds 1/S of the edge state).
+        use, _, lim = device_mem_stats()
+        if lim:
+            ht, wd = self.video.fht, self.video.fwd
+            per_edge = ht * wd * (128 * 2      # net_state f16
+                                  + 2 * 4 * 2  # target + weight f32
+                                  + 6 * 4)     # coords1 + motn transients
+            budget = 0.80 * (lim - (use or 0))
+            cap = max(int(budget // per_edge), 512)
+            if cap < max_factors:
+                print(f"backend: HBM cap {cap} edges "
+                      f"(policy 16t = {max_factors}; "
+                      f"budget {budget / 1e9:.1f} GB, "
+                      f"{per_edge / 1e6:.2f} MB/edge) — the distributed "
+                      f"backend lifts this by sharding edge state",
+                      flush=True)
+                max_factors = cap
         graph = self.graph_cls(
             self.video, self.net, self.params, corr_impl="alt",
             max_factors=max_factors,
@@ -80,11 +107,14 @@ class Backend:
         if self.distributed and len(jax.devices()) > 1:
             graph.ba_fn = self._distributed_hook(pose_cap)
 
+        log_mem("backend: graph built")
         graph.add_proximity_factors(
             rad=cfg.backend_radius, nms=cfg.backend_nms,
             thresh=cfg.backend_thresh, beta=cfg.beta,
         )
+        log_mem(f"backend: proximity selected {graph.n} edges")
         graph.update_lowmem(steps=steps)
+        log_mem("backend: sweeps done")
         graph.clear_edges()
 
     # ------------------------------------------------------------------

@@ -128,6 +128,8 @@ class FactorGraph:
         )
         self.free.extend(range(self.E_alloc, new))
         self.E_alloc = new
+        from ..utils.mem import log_mem
+        log_mem(f"graph._grow -> {new} edge slots")
 
     # ------------------------------------------------------------------
     # host bookkeeping helpers
@@ -509,11 +511,14 @@ class FactorGraph:
         on-the-fly-correlation update core IS the low-memory path; this
         just runs `steps` rounds with the backend damping profile."""
         t = self.video.counter
-        for _ in range(steps):
+        from ..utils.mem import log_mem
+        for step in range(steps):
             if self.n == 0:
                 return
             with _T.phase("graph.update_core"):
                 self._run_update_op()
+            if step == 0:
+                log_mem("update_lowmem: first update sweep")
             eta = 0.2 * self.video.state.damping + DAMPING_EPS
             ii, jj, mask = self._edge_arrays()
             with _T.phase("graph.ba"):

@@ -36,6 +36,9 @@ def main():
                         "scale; real HBM numbers need the chip)")
     args = p.parse_args()
 
+    import os
+    os.environ.setdefault("DROID_MEM_LOG", "1")
+
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
