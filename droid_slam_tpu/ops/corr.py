@@ -442,3 +442,68 @@ def alt_lookup_pyramid(pyr1_l0, fmap2_pyramid, coords, radius=RADIUS,
             alt_lookup_level(pyr1_l0, f2, coords / (2.0 ** l), radius, pc)
         )
     return jnp.concatenate(outs, axis=-1)
+
+
+def gate_corr_pyramid(pyr1_l0, fmap2_pyramid, radius=RADIUS):
+    """Window correlation at the STATIC identity grid — the motion-filter
+    gate (reference motion_filter.py:66-73 runs CorrBlock at coords0).
+
+    alt_lookup_pyramid at coords0 routes through per-chunk volume einsums
+    that XLA lowers at <1% MXU efficiency (profiled 21.5 ms/frame on
+    v5e, the #1 cost of the fused track step).  At the identity grid the
+    sample points x/2^l + off are compile-time constants, so each level
+    collapses to: resample the pooled map to full resolution once with
+    STATIC indices/weights, then (2r+1)² zero-padded shifts (multiples
+    of 2^l) each multiply-reduced against f1 on the VPU — ~60 MFLOP per
+    frame total, no volume, no gathers.
+
+    Args:
+      pyr1_l0: (E, H, W, C) level-0 source features (already /4).
+      fmap2_pyramid: list of (E, h_l, w_l, C) pooled target features.
+    Returns:
+      (E, H, W, L·(2r+1)²) f32 == alt_lookup_pyramid(pyr1_l0,
+      fmap2_pyramid, coords_grid) with the same channel layout.
+    """
+    import numpy as np
+
+    E, H, W, C = pyr1_l0.shape
+    r = radius
+    f1 = pyr1_l0.astype(jnp.float32)
+    outs = []
+    for l, f2 in enumerate(fmap2_pyramid):
+        s = 1 << l
+        f2 = f2.astype(jnp.float32)
+        # static bilinear resample of the pooled map at u/s over the
+        # EXTENDED grid u in [-r·s, W-1+r·s] (the window's shifted
+        # positions), with r zero rows/cols of pad on each side so
+        # boundary samples keep their partial in-bounds corner
+        # contributions — exactly the lookup's border semantics
+        h2, w2 = f2.shape[1], f2.shape[2]
+        ey = np.arange(-r * s, H + r * s)
+        ex = np.arange(-r * s, W + r * s)
+        iy = ey // s + r
+        fy = ((ey % s) / s).astype(np.float32)
+        ix = ex // s + r
+        fx = ((ex % s) / s).astype(np.float32)
+        # high-side pad sized for cropped pyramid levels, where the
+        # full-res extent maps past h2-1 (pool_pyramid drops odd rows)
+        py = int(iy.max()) + 2 - r - h2
+        px = int(ix.max()) + 2 - r - w2
+        f2p = jnp.pad(f2, ((0, 0), (r, max(py, 1)), (r, max(px, 1)),
+                           (0, 0)))
+        ry = (
+            jnp.take(f2p, iy, axis=1) * (1 - fy)[None, :, None, None]
+            + jnp.take(f2p, iy + 1, axis=1) * fy[None, :, None, None]
+        )
+        U = (
+            jnp.take(ry, ix, axis=2) * (1 - fx)[None, None, :, None]
+            + jnp.take(ry, ix + 1, axis=2) * fx[None, None, :, None]
+        )                                    # (E, H+2rs, W+2rs, C)
+        taps = []
+        for ox in range(-r, r + 1):        # x-offset-major channel layout
+            for oy in range(-r, r + 1):
+                sh = U[:, r * s + oy * s: r * s + oy * s + H,
+                       r * s + ox * s: r * s + ox * s + W]
+                taps.append(jnp.sum(f1 * sh, axis=-1))
+        outs.append(jnp.stack(taps, axis=-1))
+    return jnp.concatenate(outs, axis=-1)

@@ -849,8 +849,11 @@ def make_track_core(net_mod, cfg, buf, H, W, oracle=None):
 
         f1 = kf_fmap[0:1].astype(jnp.float32) / 4.0
         f2_pyr = list(pool_pyramid(fmap[0:1].astype(jnp.float32) / 4.0))
-        coords0 = projective.coords_grid(ht, wd)[None]
-        corr = corr_ops.alt_lookup_pyramid(f1, f2_pyr, coords0)
+        # static-grid window correlation: the gate samples at coords0,
+        # where the volume-free shifted-reduce form is exact and ~20x
+        # cheaper than alt_lookup_pyramid (profiled 21.5 ms/frame -> VPU
+        # noise; ops/corr.py gate_corr_pyramid)
+        corr = corr_ops.gate_corr_pyramid(f1, f2_pyr)
         _, delta, _ = net_mod.apply(
             params, knet[None], kinp[None], corr,
             method=lambda m, n, i, c: m.update(n, i, c),

@@ -156,3 +156,24 @@ class TestPixelChunkedAltCorr:
         chunked = jnp.concatenate(parts, axis=-1)
         np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_gate_corr_matches_alt_at_identity_grid(self):
+        """The volume-free motion-gate correlation (static shifted
+        reduces) must match alt_lookup_pyramid at coords0 within alt's
+        bf16 volume quantization (the gate computes in f32)."""
+        from droid_slam_tpu.geom import projective
+        from droid_slam_tpu.runtime.state import pool_pyramid
+
+        rng = np.random.default_rng(5)
+        for (H, W, C) in [(30, 40, 16), (12, 17, 8)]:
+            f1 = jnp.asarray(rng.standard_normal((1, H, W, C)),
+                             jnp.float32)
+            fm2 = jnp.asarray(rng.standard_normal((1, H, W, C)),
+                              jnp.float32)
+            pyr = list(pool_pyramid(fm2))
+            coords0 = projective.coords_grid(H, W)[None]
+            want = np.asarray(corr.alt_lookup_pyramid(f1, pyr, coords0))
+            got = np.asarray(corr.gate_corr_pyramid(f1, pyr))
+            assert got.shape == want.shape
+            scale = np.abs(want).max()
+            assert np.abs(got - want).max() < 0.005 * scale
