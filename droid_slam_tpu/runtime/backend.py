@@ -70,6 +70,16 @@ class Backend:
         # leave full capacity to the edge-sharded distributed backend
         # (each shard holds 1/S of the edge state).
         use, _, lim = device_mem_stats()
+        if lim is None and jnp.zeros(()).devices().pop().platform != "cpu":
+            # PJRT allocator stats are unavailable through the axon
+            # relay; fall back to the probed usable-HBM figure for the
+            # v5e (tools: 14 1-GB buffers fit, the 15th OOMs) and an
+            # analytic resident estimate
+            import os
+
+            from ..utils.mem import pytree_nbytes
+            lim = float(os.environ.get("DROID_HBM_GB", "14")) * 1e9
+            use = pytree_nbytes(self.video.state) + 0.5e9  # params + misc
         if lim:
             ht, wd = self.video.fht, self.video.fwd
             per_edge = ht * wd * (128 * 2      # net_state f16

@@ -128,8 +128,11 @@ class FactorGraph:
         )
         self.free.extend(range(self.E_alloc, new))
         self.E_alloc = new
-        from ..utils.mem import log_mem
-        log_mem(f"graph._grow -> {new} edge slots")
+        import os
+        if os.environ.get("DROID_MEM_LOG"):
+            per = ht * wd * (128 * self.net_state.dtype.itemsize + 16)
+            print(f"[mem] graph._grow: need {need} -> {new} slots "
+                  f"({new * per / 1e9:.2f} GB edge state)", flush=True)
 
     # ------------------------------------------------------------------
     # host bookkeeping helpers

@@ -21,6 +21,17 @@ def device_mem_stats():
             stats.get("bytes_limit"))
 
 
+def pytree_nbytes(tree):
+    """Total bytes of all array leaves (analytic; relay-safe)."""
+    import jax
+
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(tree)
+        if hasattr(x, "dtype")
+    )
+
+
 def log_mem(tag):
     """Print one line of allocator state when DROID_MEM_LOG is set."""
     if not os.environ.get("DROID_MEM_LOG"):

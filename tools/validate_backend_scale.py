@@ -127,7 +127,9 @@ def main():
         fmaps=fmaps, nets=nets, inps=inps,
     )
     video.counter = n
-    print(f"video filled: {n} keyframes at {H}x{W}", flush=True)
+    from droid_slam_tpu.utils.mem import pytree_nbytes
+    print(f"video filled: {n} keyframes at {H}x{W} "
+          f"({pytree_nbytes(video.state) / 1e9:.2f} GB state)", flush=True)
 
     def mem_gb():
         stats = jax.local_devices()[0].memory_stats() or {}
