@@ -198,12 +198,28 @@ def main():
                  # micro-batched — the same latency/throughput trade the
                  # reference makes by queueing frames into its CUDA stream
 
-    for t in range(n_warm - CHUNK):
+    # init frames: the warmup bootstrap's one-time data-dependent
+    # compiles happen here, explicitly labeled as startup cost
+    n_init = cfg.warmup + 2
+    for t in range(n_init):
+        f0 = time.perf_counter()
+        droid.track(t, frames[t], intrinsics=intr)
+        print(f"init frame {t}: {time.perf_counter() - f0:.3f}s",
+              file=sys.stderr, flush=True)
+    # pre-compile every steady-state program OUTSIDE the stream (fused
+    # single-frame + chunked, both cond arms) so no mid-stream compile
+    # stalls the warm frames or the measured window
+    f0 = time.perf_counter()
+    droid.prewarm(chunk_sizes=[CHUNK])
+    print(f"prewarm: {time.perf_counter() - f0:.3f}s",
+          file=sys.stderr, flush=True)
+
+    for t in range(n_init, n_warm - CHUNK):
         f0 = time.perf_counter()
         droid.track(t, frames[t], intrinsics=intr)
         print(f"warm frame {t}: {time.perf_counter() - f0:.3f}s",
               file=sys.stderr, flush=True)
-    # compile + warm the chunked program outside the measured window
+    # warm the chunked program on real data outside the measured window
     ts = list(range(n_warm - CHUNK, n_warm))
     droid.track_batch(ts, [frames[t] for t in ts], intrinsics=intr)
     droid._sync()

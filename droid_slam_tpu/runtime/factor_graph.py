@@ -93,6 +93,7 @@ class FactorGraph:
         # doubles capacity => O(log E) reallocations/compiles per session.
         self.E_alloc = 0
         self.free = []
+        self._jit_cache = {}
         ht, wd = self.ht, self.wd
         self.net_state = jnp.zeros((0, ht, wd, 128), self.state_dtype)
         self.target = jnp.zeros((0, ht, wd, 2), jnp.float32)
@@ -101,7 +102,6 @@ class FactorGraph:
         self.target_inac = jnp.zeros((self.I, ht, wd, 2), jnp.float32)
         self.weight_inac = jnp.zeros((self.I, ht, wd, 2), jnp.float32)
 
-        self._jit_cache = {}
 
     def _grow(self, need):
         """Grow the slot-indexed device edge arrays to hold `need` edges
@@ -114,25 +114,35 @@ class FactorGraph:
         new = min(new, self.E)
         if new <= self.E_alloc:
             return
-        ht, wd = self.ht, self.wd
-        pad = new - self.E_alloc
-        self.net_state = jnp.concatenate(
-            [self.net_state, jnp.zeros((pad, ht, wd, 128),
-                                       self.state_dtype)]
-        )
-        self.target = jnp.concatenate(
-            [self.target, jnp.zeros((pad, ht, wd, 2), jnp.float32)]
-        )
-        self.weight = jnp.concatenate(
-            [self.weight, jnp.zeros((pad, ht, wd, 2), jnp.float32)]
-        )
+        # grow each array in ONE jitted program (zeros(new).at[:n].set(old)):
+        # peak HBM = old + new.  The previous concatenate([old, zeros(pad)])
+        # materialized BOTH the pad operand and the result — a ~2x(new)
+        # transient (12.9 GB at 8192 f16 GRU slots) that OOM'd the 512-kf
+        # backend on a quiet 12-GB chip (runs/r4/backend_512.log)
+        self.net_state = self._grow_array(self.net_state, new)
+        self.target = self._grow_array(self.target, new)
+        self.weight = self._grow_array(self.weight, new)
         self.free.extend(range(self.E_alloc, new))
         self.E_alloc = new
         import os
         if os.environ.get("DROID_MEM_LOG"):
+            ht, wd = self.ht, self.wd
             per = ht * wd * (128 * self.net_state.dtype.itemsize + 16)
             print(f"[mem] graph._grow: need {need} -> {new} slots "
                   f"({new * per / 1e9:.2f} GB edge state)", flush=True)
+
+    def _grow_array(self, arr, new_rows):
+        """zeros((new_rows, ...)) with arr written into the head, as one
+        XLA program — no concatenate operand transient."""
+        import jax
+
+        shape = (new_rows,) + arr.shape[1:]
+        key = ("grow", shape, str(arr.dtype), arr.shape[0])
+        fn = self._get_jit(key, lambda: jax.jit(
+            lambda old: jnp.zeros(shape, arr.dtype).at[:old.shape[0]]
+            .set(old)
+        ))
+        return fn(arr)
 
     # ------------------------------------------------------------------
     # host bookkeeping helpers
@@ -176,12 +186,21 @@ class FactorGraph:
     def _build_insert(self, chunk):
         """Write `chunk` new edges' state into their slots (contiguous
         dynamic-update-slices per slot, no scatter).  GRU state is seeded
-        from the source frame's context features (factor_graph.py:108)."""
-        @jax.jit
+        from the source frame's context features (factor_graph.py:108).
+
+        The seed row is fetched per-iteration with a scalar dynamic
+        slice, NOT a batched take_rows: the loop is already serial per
+        edge, and materializing all `chunk` seeded rows up front costs
+        chunk·786 KB — at the backend's 8192-edge insert that was a
+        6.4 GB f16 temp plus a 6.4 GB layout copy, the second OOM of
+        runs/r4/backend_512b.log.  The big edge stores are donated so
+        the update happens in place (input+output would otherwise
+        double the 6.85 GB store)."""
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def fn(net_state, target, weight, nets_frames, new_target,
                ii_c, slots, valid):
-            new_net = take_rows(nets_frames, ii_c).astype(net_state.dtype)
-
             def body(k, carry):
                 ns, tg, wg = carry
                 s = slots[k]
@@ -192,7 +211,10 @@ class FactorGraph:
                         x, row[None], s, axis=0
                     )
 
-                ns = write(ns, new_net[k])
+                seed = jax.lax.dynamic_index_in_dim(
+                    nets_frames, ii_c[k], 0, keepdims=False
+                ).astype(ns.dtype)
+                ns = write(ns, seed)
                 tg = write(tg, new_target[k])
                 wg = write(wg, jnp.zeros_like(new_target[k]))
                 return ns, tg, wg
@@ -204,7 +226,9 @@ class FactorGraph:
         return fn
 
     def _build_inac_store(self, chunk):
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0, 1))
         def fn(t_inac, w_inac, target, weight, src_slots, dst_slots, valid):
             def body(k, carry):
                 ti, wi = carry

@@ -60,6 +60,14 @@ class Droid:
             np.array([0]), np.array([1]), num_steps=1,
         )
 
+    def prewarm(self, chunk_sizes=()):
+        """Compile the steady-state streaming programs up front so no
+        multi-second XLA compile lands mid-stream (fused frontend only;
+        the warmup-initialization programs still compile at the warmup
+        boundary — they are data-dependent)."""
+        if hasattr(self.frontend, "prewarm"):
+            self.frontend.prewarm(chunk_sizes=chunk_sizes)
+
     def track(self, tstamp, image, depth=None, intrinsics=None):
         """Ingest one frame: motion filter + frontend (droid.py:61-72).
 

