@@ -84,7 +84,14 @@ class Backend:
             ht, wd = self.video.fht, self.video.fwd
             per_edge = ht * wd * (128 * 2      # net_state f16
                                   + 2 * 4 * 2  # target + weight f32
-                                  + 6 * 4)     # coords1 + motn transients
+                                  + 6 * 4      # coords1 + motn transients
+                                  # BA linearization outputs, resident
+                                  # through the whole Schur scan
+                                  # (ops/dba._linearize: Eii+Eij f32
+                                  # (E,6,HW) x2 + Cii+wi (E,HW) x2) —
+                                  # omitting these put the 512-kf run
+                                  # ~1.5 GB over budget (backend_512d)
+                                  + (2 * 6 + 2) * 4)
             budget = 0.80 * (lim - (use or 0))
             cap = max(int(budget // per_edge), 512)
             if cap < max_factors:
@@ -95,10 +102,14 @@ class Backend:
                       f"backend lifts this by sharding edge state",
                       flush=True)
                 max_factors = cap
+        # edge_cap is 128-aligned, NOT power-of-two bucketed: _grow stops
+        # at self.E, and a pow2 bucket would round a 6-7k HBM cap back up
+        # to 8192 allocated slots, defeating the cap.  A backend session
+        # compiles its programs once either way.
         graph = self.graph_cls(
             self.video, self.net, self.params, corr_impl="alt",
             max_factors=max_factors,
-            edge_cap=_bucket(max_factors, lo=128),
+            edge_cap=int(np.ceil(max_factors / 128) * 128),
             inac_cap=8,
             pose_cap=pose_cap, depth_cap=pose_cap,
             degree_cap=64,

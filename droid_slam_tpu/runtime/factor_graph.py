@@ -309,6 +309,27 @@ class FactorGraph:
 
         return fn
 
+    def _build_writeback(self, n_real):
+        """Write one update-op chunk's results back into the (donated)
+        edge stores in place."""
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def fn(net_state, target, weight, net_new, tgt_new, wgt_new, lo):
+            net_state = jax.lax.dynamic_update_slice_in_dim(
+                net_state, net_new[:n_real].astype(net_state.dtype),
+                lo, axis=0,
+            )
+            target = jax.lax.dynamic_update_slice_in_dim(
+                target, tgt_new[:n_real], lo, axis=0
+            )
+            weight = jax.lax.dynamic_update_slice_in_dim(
+                weight, wgt_new[:n_real], lo, axis=0
+            )
+            return net_state, target, weight
+
+        return fn
+
     def _run_update_op(self):
         """Run the update operator over all edge slots (chunked)."""
         state = self.video.state
@@ -348,15 +369,15 @@ class FactorGraph:
                 jnp.asarray(padc(mask)),
             )
             n_real = hi - lo
-            self.net_state = jax.lax.dynamic_update_slice_in_dim(
-                self.net_state,
-                net_new[:n_real].astype(self.net_state.dtype), lo, axis=0,
-            )
-            self.target = jax.lax.dynamic_update_slice_in_dim(
-                self.target, tgt_new[:n_real], lo, axis=0
-            )
-            self.weight = jax.lax.dynamic_update_slice_in_dim(
-                self.weight, wgt_new[:n_real], lo, axis=0
+            # jitted in-place writeback (donated stores): each of these
+            # updates run eagerly would allocate a fresh copy of the
+            # whole edge store — old + new = 2 x 6.85 GB at the 8192-slot
+            # backend, the third OOM of runs/r4/backend_512c.log
+            wb = self._get_jit(("writeback", n_real),
+                               lambda: self._build_writeback(n_real))
+            self.net_state, self.target, self.weight = wb(
+                self.net_state, self.target, self.weight,
+                net_new, tgt_new, wgt_new, jnp.asarray(lo, jnp.int32),
             )
             damping = jnp.where(
                 has_edge[:, None, None], eta_seg, state.damping
@@ -498,7 +519,13 @@ class FactorGraph:
 
     def clear_edges(self):
         self.rm_factors(np.ones(self.n, bool), store=False)
-        self.net_state = jnp.zeros_like(self.net_state)
+        # donated zero-fill: eager zeros_like would hold old + new
+        # (2 x 6.44 GB at the 8192-slot backend) until the rebind
+        zf = self._get_jit(
+            ("zero_fill", self.net_state.shape, str(self.net_state.dtype)),
+            lambda: jax.jit(jnp.zeros_like, donate_argnums=0),
+        )
+        self.net_state = zf(self.net_state)
 
     def filter_edges(self):
         """Drop long-range edges with near-zero confidence
@@ -561,6 +588,12 @@ class FactorGraph:
                         pose_cap=self.P, depth_cap=self.K,
                         degree_cap=self.D,
                     )
+            # one blocking readback per sweep: fully-async sweeps let the
+            # next sweep's update/BA transients overlap this one's (the
+            # allocator then needs ~2 sweeps of transients at once — the
+            # final straw of the 512-kf OOM, runs/r4/backend_512d.log).
+            # Costs one relay round-trip (~0.3 s) per sweep.
+            _ = float(np.asarray(self.video.state.poses[0, 0]))
 
     def _ba(self, t0, t1, itrs, use_inactive, motion_only):
         """Assemble (active ∪ filtered-inactive) edges and run dense BA."""

@@ -859,11 +859,14 @@ def make_track_core(net_mod, cfg, buf, H, W, oracle=None):
                                        oracle=oracle)
 
     def track_step(params, vstate, gstate, counter, t1, image, tstamp,
-                   intr8, disp_sens, filter_thresh):
+                   intr8, disp_sens, filter_thresh, fmap=None):
         from .state import read_slot
 
         x = normalize_images(image)                    # (rig, H, W, 3)
-        fmap = net_mod.apply(params, x, method=lambda m, x: m.fnet(x))
+        if fmap is None:
+            # single-frame path; the chunked program hoists fnet out of
+            # its scan and passes per-frame features in (build_track_chunk)
+            fmap = net_mod.apply(params, x, method=lambda m, x: m.fnet(x))
 
         # motion gate: 1-edge corr + one update iteration vs the last
         # keyframe (motion_filter.py:66-73)
@@ -946,23 +949,36 @@ def build_track_chunk(net_mod, cfg, buf, H, W, chunk, oracle=None):
     reference makes by queueing frames into its CUDA stream
     (droid.py:61-72 never synchronizes per frame either).
     """
-    from ..models.droidnet import normalize_images  # noqa: F401 (parity)
+    from ..models.droidnet import normalize_images
 
     inner = make_track_core(net_mod, cfg, buf, H, W, oracle=oracle)
 
     def track_chunk(params, vstate, gstate, counter, t1, images, tstamps,
                     intr8, disp_sens, filter_thresh):
+        # fnet runs on EVERY input frame regardless of the keyframe
+        # decision (motion_filter.py:57), so hoist it out of the scan:
+        # one batch-(B·rig) conv stack instead of B batch-1 stacks — the
+        # conv stack was the top leaf cost of the round-3 trace
+        # (21.6 ms/frame, PERF.md) and batch-1 convs leave the MXU
+        # mostly idle.  Instance norm is per-sample, so results are
+        # identical.  cnet stays per-frame inside the keyframe branch:
+        # it is only needed for accepted keyframes.
+        B, rig = images.shape[0], images.shape[1]
+        x = normalize_images(images.reshape((B * rig,) + images.shape[2:]))
+        fmaps = net_mod.apply(params, x, method=lambda m, v: m.fnet(v))
+        fmaps = fmaps.reshape((B, rig) + fmaps.shape[1:])
+
         def body(carry, frame):
             vstate, gstate, counter, t1 = carry
-            image, tstamp = frame
+            image, tstamp, fmap = frame
             vstate, gstate, counter, t1, flags = inner(
                 params, vstate, gstate, counter, t1, image, tstamp,
-                intr8, disp_sens, filter_thresh,
+                intr8, disp_sens, filter_thresh, fmap=fmap,
             )
             return (vstate, gstate, counter, t1), flags
 
         (vstate, gstate, counter, t1), flags = jax.lax.scan(
-            body, (vstate, gstate, counter, t1), (images, tstamps)
+            body, (vstate, gstate, counter, t1), (images, tstamps, fmaps)
         )
         return vstate, gstate, counter, t1, flags[-1]
 

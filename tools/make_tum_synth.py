@@ -35,6 +35,12 @@ def main():
     p.add_argument("--motion", type=float, default=0.06)
     args = p.parse_args()
 
+    # CPU only: the renderer must NEVER claim the tunneled TPU (the axon
+    # hook pins jax to it in every process; a concurrent chip job would
+    # inherit a poisoned HBM budget)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     import cv2
 
     from droid_slam_tpu.data.synthetic import render_box_scene
