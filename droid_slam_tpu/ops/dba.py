@@ -255,16 +255,54 @@ def _linearize_chunked(poses, disps, intrinsics, target, weight, ii, jj,
     )
 
 
-def _pose_system(Hblk, v, ii, jj, t0, P, edge_mask):
-    """Dense pose window via selector contraction (no scatter)."""
+def _pose_system(Hblk, v, ii, jj, t0, P, edge_mask,
+                 chunk_threshold=400_000_000):
+    """Dense pose window via selector contraction (no scatter).
+
+    The 3-operand einsum's pairwise path materializes an
+    (E, 2·6·6, P) f32 intermediate — 3.4 GB at the 1000-keyframe
+    backend (E≈4.9k, P=1024), the OOM of runs/r4/backend_1000b.log —
+    so past a ~0.4 GB intermediate the contraction runs as an edge-
+    chunked scan accumulating directly into the (P,6,P,6) system.
+    """
     pi = ii - t0
     pj = jj - t0
     Pi = _onehot(pi, P, (pi >= 0) & (pi < P) & edge_mask)
     Pj = _onehot(pj, P, (pj >= 0) & (pj < P) & edge_mask)
-    U = jnp.stack([Pi, Pj], axis=1)                       # (E, 2, P)
+    E = ii.shape[0]
 
-    H = jnp.einsum("erasb,erp,esq->paqb", Hblk, U, U, precision=_HIGH)
-    vd = jnp.einsum("era,erp->pa", v, U, precision=_HIGH)
+    if E * 72 * P * 4 <= chunk_threshold:
+        U = jnp.stack([Pi, Pj], axis=1)                   # (E, 2, P)
+        H = jnp.einsum("erasb,erp,esq->paqb", Hblk, U, U, precision=_HIGH)
+        vd = jnp.einsum("era,erp->pa", v, U, precision=_HIGH)
+        return H, vd, Pj
+
+    chunk = LIN_CHUNK
+    nch = (E + chunk - 1) // chunk
+    Ep = nch * chunk
+
+    def pad(x):
+        if Ep == E:
+            return x
+        w = [(0, Ep - E)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, w)                # zero selector rows: no-op
+
+    Hp, vp, Pip, Pjp = pad(Hblk), pad(v), pad(Pi), pad(Pj)
+
+    def body(carry, c):
+        H, vd = carry
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk)
+        U = jnp.stack([sl(Pip), sl(Pjp)], axis=1)
+        H = H + jnp.einsum("erasb,erp,esq->paqb", sl(Hp), U, U,
+                           precision=_HIGH)
+        vd = vd + jnp.einsum("era,erp->pa", sl(vp), U, precision=_HIGH)
+        return (H, vd), None
+
+    (H, vd), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((P, 6, P, 6)), jnp.zeros((P, 6))),
+        jnp.arange(nch),
+    )
     return H, vd, Pj
 
 

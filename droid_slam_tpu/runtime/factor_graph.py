@@ -287,22 +287,49 @@ class FactorGraph:
             )
 
             inp = take_rows(inps_frames, ii_c)
-            seg = jnp.where(mask_c, ii_c, buf)
-            net_new, delta, weight, eta_seg, upmask = net_mod.apply(
+            Ec = ii_c.shape[0]
+            # GraphAgg over LOCAL chunk segments: all edges of a frame
+            # share a segment, so aggregating by first-occurrence edge
+            # index is exactly the per-frame mean — but with Ec+1
+            # segments instead of buf+1.  With nseg=buf every chunk
+            # convolved (buf+1)-batch tensors: ~1.6 GB of temps and
+            # ~700 GFLOP of conv per 64-edge chunk at the 1000-keyframe
+            # backend (the OOM of runs/r4/backend_1000c.log).
+            first = jnp.argmax(
+                (ii_c[None, :] == ii_c[:, None]) & mask_c[None, :], axis=1
+            ).astype(jnp.int32)
+            loc = jnp.where(mask_c, first, Ec)
+            net_new, delta, weight, eta_loc, upmask_loc = net_mod.apply(
                 params, net_chunk, inp, corr, motn,
                 method=lambda m, n, i, c, f, ix, nseg: m.update(
                     n, i, c, f, ix=ix, nseg=nseg
                 ),
-                ix=seg, nseg=buf,
+                ix=loc, nseg=Ec,
             )
             mask_f = mask_c[:, None, None, None].astype(net_new.dtype)
             net_new = net_new * mask_f + net_chunk * (1 - mask_f)
             target_new = coords1 + delta * mask_f
             weight_new = weight * mask_f
+            # scatter the per-segment eta back to frame rows (mean over a
+            # frame's edges of identical values == the value)
+            seg = jnp.where(mask_c, ii_c, buf)
+            ones = jnp.ones_like(seg, jnp.float32)
             cnt = jax.ops.segment_sum(
-                jnp.ones_like(seg, jnp.float32), seg, num_segments=buf + 1
+                ones, seg, num_segments=buf + 1
             )[:-1]
-            if not want_upmask:
+            eta_edge = take_rows(eta_loc.astype(jnp.float32), loc)
+            eta_seg = jax.ops.segment_sum(
+                eta_edge * mask_c[:, None, None].astype(jnp.float32),
+                seg, num_segments=buf + 1,
+            )[:-1] / jnp.maximum(cnt, 1.0)[:, None, None]
+            if want_upmask:
+                up_edge = take_rows(upmask_loc.astype(jnp.float32), loc)
+                upmask = jax.ops.segment_sum(
+                    up_edge * mask_c[:, None, None, None].astype(
+                        jnp.float32),
+                    seg, num_segments=buf + 1,
+                )[:-1] / jnp.maximum(cnt, 1.0)[:, None, None, None]
+            else:
                 # don't materialize the (buf, h, w, 576) mask when unused
                 upmask = jnp.zeros((), jnp.float32)
             return net_new, target_new, weight_new, eta_seg, cnt > 0, upmask
@@ -383,6 +410,11 @@ class FactorGraph:
                 has_edge[:, None, None], eta_seg, state.damping
             )
             state = state.replace(damping=damping)
+            # large backends: bound async pipelining inside the sweep —
+            # the relay enqueues all ~100 chunk programs at once and
+            # their output buffers accumulate ahead of execution
+            if self.E_alloc >= 2048 and (c + 1) % 16 == 0:
+                _ = float(np.asarray(has_edge[0]))
             if self.upsample:
                 # convex-upsample the disparities of this chunk's updated
                 # source frames into disps_up (reference

@@ -579,14 +579,36 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
                 )
 
             inp = take_rows(vstate.inps, ii_a)
-            seg = jnp.where(active, ii_a, buf)
-            net_new, delta, weight, eta_seg, upmask = net_mod.apply(
+            # GraphAgg over LOCAL segments (first-occurrence edge index):
+            # identical per-frame means, but EA+1 segments instead of
+            # buf+1 — the (buf, h, w, 128) GraphAgg conv batch cost
+            # buf/EA x the useful FLOPs and its temps scale with the
+            # keyframe buffer (see factor_graph._build_update_core)
+            first = jnp.argmax(
+                (ii_a[None, :] == ii_a[:, None]) & active[None, :], axis=1
+            ).astype(jnp.int32)
+            loc = jnp.where(active, first, EA)
+            net_new, delta, weight, eta_loc, upmask_loc = net_mod.apply(
                 params, gstate.net, inp, corr, motn,
                 method=lambda m, n, i, c, f, ix, nseg: m.update(
                     n, i, c, f, ix=ix, nseg=nseg
                 ),
-                ix=seg, nseg=buf,
+                ix=loc, nseg=EA,
             )
+            seg = jnp.where(active, ii_a, buf)
+            mflt = active.astype(jnp.float32)
+            eta_seg = jax.ops.segment_sum(
+                take_rows(eta_loc.astype(jnp.float32), loc)
+                * mflt[:, None, None],
+                seg, num_segments=buf + 1,
+            )[:-1]
+            upmask = None
+            if cfg.upsample:
+                upmask = jax.ops.segment_sum(
+                    take_rows(upmask_loc.astype(jnp.float32), loc)
+                    * mflt[:, None, None, None],
+                    seg, num_segments=buf + 1,
+                )[:-1]
             # where-blends, not arithmetic masks: inactive slots may hold
             # non-finite values and 0·NaN = NaN would leak through `x·mask`
             net_new = jnp.where(m4, net_new, gstate.net)
@@ -595,6 +617,12 @@ def make_update_round(net_mod, cfg, buf, ht, wd, P, K, oracle=None):
             cnt = jax.ops.segment_sum(
                 jnp.ones_like(seg, jnp.float32), seg, num_segments=buf + 1
             )[:-1]
+            # the scatter above summed identical per-frame values over a
+            # frame's edges: divide by the edge count to recover the mean
+            eta_seg = eta_seg / jnp.maximum(cnt, 1.0)[:, None, None]
+            if cfg.upsample:
+                upmask = (upmask
+                          / jnp.maximum(cnt, 1.0)[:, None, None, None])
             damping = jnp.where(
                 (cnt > 0)[:, None, None], eta_seg, vstate.damping
             )

@@ -304,3 +304,28 @@ class TestCompactSchur:
             ii, jj, mask, kx, kmask, 0, t, 4, 8
         )
         assert tabs is None
+
+
+def test_pose_system_chunked_matches_dense():
+    """The edge-chunked pose-system accumulation (the 1000-kf OOM fix)
+    is numerically identical to the one-shot selector contraction."""
+    import numpy as np
+
+    from droid_slam_tpu.ops import dba
+
+    rng = np.random.default_rng(3)
+    E, P, t0 = 37, 16, 1
+    Hblk = jnp.asarray(rng.standard_normal((E, 2, 6, 2, 6)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((E, 2, 6)), jnp.float32)
+    ii = jnp.asarray(rng.integers(0, P + t0, E), jnp.int32)
+    jj = jnp.asarray(rng.integers(0, P + t0, E), jnp.int32)
+    mask = jnp.asarray(rng.random(E) > 0.2)
+
+    Hd, vd, Pjd = dba._pose_system(Hblk, v, ii, jj, t0, P, mask)
+    Hc, vc, Pjc = dba._pose_system(Hblk, v, ii, jj, t0, P, mask,
+                                   chunk_threshold=0)
+    np.testing.assert_allclose(np.asarray(Hd), np.asarray(Hc),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(vc),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(Pjd), np.asarray(Pjc))

@@ -48,9 +48,16 @@ def main():
     ap.add_argument("--batch", type=int, default=20,
                     help="chunk size for the batched fnet point")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--edges", type=int, default=64,
+                    help="edge count (use a small value for CPU smoke)")
     args = ap.parse_args()
 
     if args.cpu:
+        # both layers: env var (read by enable_compilation_cache) AND
+        # config (the axon hook re-pins platforms after jax import) —
+        # a CPU run must never claim the tunneled chip
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
 
@@ -66,7 +73,7 @@ def main():
 
     H, W = 240, 320
     ht, wd = H // 8, W // 8
-    E = 64                      # frontend active-edge capacity chunk
+    E = args.edges              # frontend active-edge capacity chunk
     rng = np.random.default_rng(0)
 
     net = DroidNet(dtype=jnp.bfloat16)
@@ -171,7 +178,7 @@ def main():
     emask = jnp.ones((E,), bool)
 
     def linz(t):
-        Hb, v, Ei, Ci, wsq = dba._linearize(
+        Hb, v, Eii_, Eij_, Cii_, wi_ = dba._linearize(
             poses, disps, intr, t, wgt, ii, jj, emask)
         return t + 1e-6 * jnp.mean(v) + 0 * t
 
