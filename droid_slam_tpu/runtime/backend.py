@@ -70,17 +70,23 @@ class Backend:
         # leave full capacity to the edge-sharded distributed backend
         # (each shard holds 1/S of the edge state).
         use, _, lim = device_mem_stats()
+        budget = None
         if lim is None and jnp.zeros(()).devices().pop().platform != "cpu":
             # PJRT allocator stats are unavailable through the axon
-            # relay; fall back to the probed usable-HBM figure for the
-            # v5e (tools: 14 1-GB buffers fit, the 15th OOMs) and an
-            # analytic resident estimate
+            # relay: use the measured ceiling (DROID_HBM_GB, set by the
+            # scale tools from a start-of-run trial-allocation probe;
+            # an idle chip fits >= 13.8 GB) and an analytic resident
+            # estimate.  Do NOT trial-allocate here: a probe mid-run
+            # poisons the allocator for the next allocations even after
+            # a settle loop (runs/r4/backend_1000{e,f,g}.log — tiny
+            # allocs RESOURCE_EXHAUST seconds after a settled probe).
             import os
 
             from ..utils.mem import pytree_nbytes
             lim = float(os.environ.get("DROID_HBM_GB", "14")) * 1e9
-            use = pytree_nbytes(self.video.state) + 0.5e9  # params + misc
-        if lim:
+            # 1.5 GB: params, compiled programs, allocator slack
+            use = pytree_nbytes(self.video.state) + 1.5e9
+        if lim or budget is not None:
             ht, wd = self.video.fht, self.video.fwd
             per_edge = ht * wd * (128 * 2      # net_state f16
                                   + 2 * 4 * 2  # target + weight f32
@@ -92,7 +98,8 @@ class Backend:
                                   # omitting these put the 512-kf run
                                   # ~1.5 GB over budget (backend_512d)
                                   + (2 * 6 + 2) * 4)
-            budget = 0.80 * (lim - (use or 0))
+            if budget is None:
+                budget = 0.80 * (lim - (use or 0))
             cap = max(int(budget // per_edge), 512)
             if cap < max_factors:
                 print(f"backend: HBM cap {cap} edges "

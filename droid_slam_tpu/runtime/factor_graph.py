@@ -415,6 +415,8 @@ class FactorGraph:
             # their output buffers accumulate ahead of execution
             if self.E_alloc >= 2048 and (c + 1) % 16 == 0:
                 _ = float(np.asarray(has_edge[0]))
+                from ..utils.mem import log_mem
+                log_mem(f"update chunk {c + 1}/{nchunks}")
             if self.upsample:
                 # convex-upsample the disparities of this chunk's updated
                 # source frames into disps_up (reference

@@ -53,10 +53,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    free_start = None
     if not args.cpu and args.wait_gb:
+        # wait for a quiet chip AND measure the true allocatable ceiling
+        # (subprocess probe with scalar-readback barriers; an idle chip
+        # fits 15x1 GB).  DROID_HBM_GB is derived AFTER the video fill,
+        # accounting for this tool's own leak (below).
         from tools.quiet_chip import wait_for_free_hbm
-        free = wait_for_free_hbm(min_gb=args.wait_gb)
-        os.environ.setdefault("DROID_HBM_GB", str(free))
+        free_start = wait_for_free_hbm(min_gb=args.wait_gb)
 
     from droid_slam_tpu.config import SLAMConfig
     from droid_slam_tpu.models.droidnet import DroidNet, normalize_images
@@ -135,10 +139,27 @@ def main():
         intrinsics=jnp.asarray(intr),
         fmaps=fmaps, nets=nets, inps=inps,
     )
+    # the local references keep the REPLACED zero-filled state arrays
+    # (~3.5 GB at 1000 kf) alive on the device for the whole run — that
+    # residue halved the backend's measured free-HBM budget
+    # (runs/r4/backend_1000e.log: 7.7 GB probed vs ~12.9 expected)
+    del st, images, fmaps, nets, inps, feats
     video.counter = n
     from droid_slam_tpu.utils.mem import pytree_nbytes
+    state_gb = pytree_nbytes(video.state) / 1e9
     print(f"video filled: {n} keyframes at {H}x{W} "
-          f"({pytree_nbytes(video.state) / 1e9:.2f} GB state)", flush=True)
+          f"({state_gb:.2f} GB state)", flush=True)
+    if free_start is not None and "DROID_HBM_GB" not in os.environ:
+        # client-level deallocations do NOT land within a live relay
+        # process (measured: 0 GB reallocatable 10+ min after freeing
+        # 15 GB of probe buffers) — so the zero-filled DepthVideo state
+        # this tool replaced above is LEAKED for the rest of the run.
+        # Budget the backend against ceiling - leak - safety.
+        os.environ["DROID_HBM_GB"] = str(
+            max(free_start - state_gb - 1.0, 4.0))
+        print(f"DROID_HBM_GB={os.environ['DROID_HBM_GB']} "
+              f"(ceiling {free_start} - leaked replaced state "
+              f"{state_gb:.1f} - 1 safety)", flush=True)
 
     def mem_gb():
         stats = jax.local_devices()[0].memory_stats() or {}
