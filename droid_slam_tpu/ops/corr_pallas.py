@@ -261,3 +261,131 @@ def lookup_pyramid_pallas(pyramid, coords, radius=RADIUS):
         for l, vol in enumerate(pyramid)
     ]
     return jnp.concatenate(outs, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# v3: queries-along-lanes masked reduction (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _lookup_kernel_v3(y0_ref, x0_ref, dy_ref, dx_ref, vol_ref, out_ref,
+                      R_ref, *, rd, h2, w2):
+    """One (edge, query-block) program: 128 queries along LANES.
+
+    v1/v2 were latency-bound by a serial per-pixel fori_loop (TPUs have
+    no per-lane gather, so each pixel's dynamic window forced its own
+    rotate/slice).  v3 removes the serial loop entirely by putting the
+    QUERIES on the lane axis: the volume block is (h2, w2, 128 queries)
+    and every op below is a full-width VPU op over all 128 windows at
+    once.  The dynamic row/column selection becomes masked REDUCTIONS —
+    a broadcasted-iota compare against each query's window start:
+
+      stage A (rows):  R[k, x, q]  = Σ_y vol[y, x, q] · (y == y0[q]+k)
+      stage B (cols):  T[k, o, q]  = Σ_x R[k, x, q] · (x == x0[q]+o)
+      bilinear blend of the (rd+1)² integer-tap grid T.
+
+    Out-of-range rows/cols simply never match the compare → exact
+    zero-contribution border semantics (same as ops.corr one-hot).
+
+    vol_ref: (1, h2, w2, 128) bf16 — NOTE the transposed (plane, query)
+    layout vs the (query, plane) layout the one-hot path uses.
+    out_ref: (1, 8, 8, 128) f32; rows/cols beyond rd are zero-padding.
+    R_ref:   (8, w2, 128) f32 VMEM scratch.
+    """
+    f32 = jnp.float32
+    vol = vol_ref[0, 0].astype(f32)                    # (h2, w2, 128)
+    y0 = y0_ref[0, 0, 0]                               # (128,) i32
+    x0 = x0_ref[0, 0, 0]
+    dy = dy_ref[0, 0, 0].astype(f32)                   # (128,) f32
+    dx = dx_ref[0, 0, 0].astype(f32)
+
+    ioy = jax.lax.broadcasted_iota(jnp.int32, (h2, 1, 1), 0)
+    for k in range(rd + 1):                            # static unroll
+        m = (ioy == (y0 + (k - RADIUS))[None, None, :]).astype(f32)
+        R_ref[k] = jnp.sum(vol * m, axis=0)            # (w2, 128)
+
+    R = R_ref[...]                                     # (8, w2, 128)
+    iox = jax.lax.broadcasted_iota(jnp.int32, (1, w2, 1), 1)
+    cols = []
+    for o in range(rd + 1):
+        mx = (iox == (x0 + (o - RADIUS))[None, None, :]).astype(f32)
+        cols.append(jnp.sum(R * mx, axis=1))           # (8, 128)
+    T = jnp.stack(cols, axis=1)                        # (8, 8, 128)
+
+    dxb = dx[None, None, :]                            # (1, 1, 128)
+    dyb = dy[None, None, :]
+    tx = (1.0 - dxb) * T[:, :rd] + dxb * T[:, 1:]      # (8, rd, 128)
+    taps = (1.0 - dyb) * tx[:rd] + dyb * tx[1:]        # (rd, rd, 128)
+    out = jnp.zeros((8, 8, 128), f32)
+    out = out.at[:rd, :rd].set(taps)
+    out_ref[0, 0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def lookup_flat_pallas_v3(vol_t, coords, radius=RADIUS, interpret=False):
+    """v3 lookup on a TRANSPOSED flat volume.
+
+    Args:
+      vol_t: (E, h2, w2, HW) — per-edge volume with the QUERY pixel
+        LAST (build with einsum("eqc,epc->eqp"); the one-hot path uses
+        the (E·HW, h2, w2) layout instead).
+      coords: (E, HW, 2) float [x, y] in level units.
+    Returns:
+      (E, HW, (2r+1)²) f32 taps, x-offset-major (ops.corr layout).
+    """
+    E, h2, w2, HW = vol_t.shape
+    r = radius
+    rd = 2 * r + 1
+    B = 128
+    nblk = (HW + B - 1) // B
+    HWp = nblk * B
+    if HWp != HW:
+        vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, 0), (0, HWp - HW)))
+        coords = jnp.pad(coords, ((0, 0), (0, HWp - HW), (0, 0)),
+                         constant_values=-1e4)
+    # w2 must be a sublane multiple for the (w2, 128) scratch/tiles
+    w2p = int(np.ceil(w2 / 8) * 8)
+    if w2p != w2:
+        vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, w2p - w2), (0, 0)))
+
+    c = coords.reshape(E, nblk, B, 2)
+    x0f = jnp.floor(c[..., 0])
+    y0f = jnp.floor(c[..., 1])
+    dx = (c[..., 0] - x0f).astype(jnp.float32)
+    dy = (c[..., 1] - y0f).astype(jnp.float32)
+    # clamp into a harmless range: OOB windows match nothing anyway, but
+    # keep int arithmetic small
+    x0 = jnp.clip(x0f, -2e4, 2e4).astype(jnp.int32)
+    y0 = jnp.clip(y0f, -2e4, 2e4).astype(jnp.int32)
+
+    vol_b = vol_t.reshape(E, h2, w2p, nblk, B).transpose(0, 3, 1, 2, 4)
+
+    out = pl.pallas_call(
+        functools.partial(_lookup_kernel_v3, rd=rd, h2=h2, w2=w2p),
+        grid=(E, nblk),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, B), lambda e, b: (e, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, B), lambda e, b: (e, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, B), lambda e, b: (e, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, B), lambda e, b: (e, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h2, w2p, B),
+                         lambda e, b: (e, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, 8, B),
+                               lambda e, b: (e, b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, nblk, 8, 8, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, w2p, B), jnp.float32)],
+        interpret=interpret,
+    )(
+        y0.reshape(E, nblk, 1, B), x0.reshape(E, nblk, 1, B),
+        dy.reshape(E, nblk, 1, B), dx.reshape(E, nblk, 1, B), vol_b,
+    )
+    # (E, nblk, oy, ox, q) -> (E, HW, ox, oy) -> x-major channels
+    taps = out[:, :, :rd, :rd].transpose(0, 1, 4, 3, 2)
+    return taps.reshape(E, HWp, rd * rd)[:, :HW]

@@ -164,6 +164,27 @@ def main():
     out.append(measure("lookup0_onehot", lookup0, coords0,
                        f"E={E} level-0 {ht}x{wd}"))
 
+    # v3 Pallas (queries-along-lanes masked reduce) on the same data,
+    # transposed layout
+    try:
+        from droid_slam_tpu.ops import corr_pallas
+        vol_t = jnp.asarray(
+            np.asarray(vol0.astype(jnp.float32))
+            .reshape(E, ht * wd, ht, wd).transpose(0, 2, 3, 1),
+            jnp.bfloat16)
+
+        def lookup_v3(coords):
+            taps = corr_pallas.lookup_flat_pallas_v3(
+                vol_t, coords.reshape(E, ht * wd, 2))
+            d = jnp.mean(taps, axis=-1).reshape(Q, 1)
+            return coords + 1e-6 * jnp.concatenate([d, d], -1)
+
+        out.append(measure("lookup0_pallas_v3", lookup_v3, coords0,
+                           f"E={E} level-0 {ht}x{wd}"))
+    except Exception as e:  # noqa: BLE001 - Mosaic may reject on HW
+        print(f"[roofline] pallas v3 skipped: {e}", file=sys.stderr,
+              flush=True)
+
     # ---- 2. BA linearization (chunked) ---------------------------------
     buf = 64
     poses = jnp.asarray(
