@@ -280,7 +280,17 @@ def lookup_pyramid_flat(vols, coords, radius=RADIUS, view=None):
     outs = []
     for l, v in enumerate(vols):
         c = coords / (2.0 ** l)
-        if lookup_level_impl is lookup_level_onehot:
+        if lookup_impl_name == "pallas_v3":
+            # v is the TRANSPOSED (E, h2, w2, HW) layout this impl wants
+            # (make_edge_volumes builds it that way when selected)
+            from .corr_pallas import lookup_flat_pallas_v3
+            E, h2, w2, HW = v.shape
+            outs.append(
+                lookup_flat_pallas_v3(
+                    v, c.reshape(E, HW, 2), radius
+                ).reshape(E * HW, -1)
+            )
+        elif lookup_level_impl is lookup_level_onehot:
             outs.append(lookup_level_onehot_flat(v, c, radius))
         else:
             Q, h2, w2 = v.shape
@@ -296,17 +306,21 @@ def lookup_pyramid_flat(vols, coords, radius=RADIUS, view=None):
 
 # active lookup implementation (onehot-matmul: fastest on TPU, no gathers)
 lookup_level_impl = lookup_level_onehot
+lookup_impl_name = "onehot"
 
 
 def set_lookup_impl(name):
     """Select the windowed-lookup implementation globally.
 
     "onehot" (default): weighted one-hot selector matmuls on the MXU.
-    "pallas": the double-rolled dynamic-rotate Pallas kernel
+    "pallas"/"pallas_v2": the dynamic-rotate Pallas kernels
     (ops/corr_pallas.py) — hardware TPU only (interpret mode in tests).
-    Call before any jit tracing that should pick up the change.
+    "pallas_v3": the queries-along-lanes masked-reduction kernel; the
+    fused cached-volume path builds TRANSPOSED (E, h2, w2, HW) volumes
+    for it.  Call before any jit tracing that should pick up the change.
     """
-    global lookup_level_impl
+    global lookup_level_impl, lookup_impl_name
+    lookup_impl_name = name
     if name == "onehot":
         lookup_level_impl = lookup_level_onehot
     elif name == "pallas":
@@ -315,6 +329,8 @@ def set_lookup_impl(name):
     elif name == "pallas_v2":
         from .corr_pallas import lookup_level_pallas_v2
         lookup_level_impl = lookup_level_pallas_v2
+    elif name == "pallas_v3":
+        lookup_level_impl = lookup_level_onehot   # non-flat callers
     else:
         raise ValueError(f"unknown lookup impl {name!r}")
 

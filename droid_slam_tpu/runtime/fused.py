@@ -491,15 +491,25 @@ def make_edge_volumes(cfg, EA, ht, wd):
         f1 = take_rows(fmap_pyr[0], rig * ii_a).astype(jnp.float32) / 4.0
         cam2 = rig * jj_a + (ii_a == jj_a).astype(jnp.int32) * (rig - 1)
         f1f = f1.reshape(EA, ht * wd, -1)
+        transposed = corr_ops.lookup_impl_name == "pallas_v3"
         vols = []
         for p in fmap_pyr:
             f2 = take_rows(p, cam2).astype(jnp.float32) / 4.0
             h2, w2 = f2.shape[1:3]
-            v = jnp.einsum(
-                "epc,eqc->epq", f1f, f2.reshape(EA, h2 * w2, -1),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-            vols.append(v.reshape(EA * ht * wd, h2, w2))
+            if transposed:
+                # (E, h2·w2 volume pixels, HW query pixels) — the layout
+                # the v3 queries-along-lanes kernel consumes directly
+                v = jnp.einsum(
+                    "eqc,epc->eqp", f2.reshape(EA, h2 * w2, -1), f1f,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+                vols.append(v.reshape(EA, h2, w2, ht * wd))
+            else:
+                v = jnp.einsum(
+                    "epc,eqc->epq", f1f, f2.reshape(EA, h2 * w2, -1),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+                vols.append(v.reshape(EA * ht * wd, h2, w2))
         return vols
 
     return build

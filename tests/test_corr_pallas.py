@@ -170,3 +170,30 @@ class TestPallasLookupV3:
         np.testing.assert_allclose(
             np.asarray(got).reshape(E * HW, -1), np.asarray(ref),
             atol=5e-6)
+
+    def test_pyramid_flat_dispatch_v3(self):
+        """lookup_pyramid_flat with impl=pallas_v3 (transposed cached
+        volumes) matches the one-hot flat path level for level."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(7)
+        E, HW = 2, 140
+        h2, w2 = 12, 16
+        levels = [(h2, w2), (h2 // 2, w2 // 2)]
+        vols_flat, vols_t = [], []
+        for hl, wl in levels:
+            v = rng.standard_normal((E, HW, hl, wl)).astype(np.float32)
+            vols_flat.append(jnp.asarray(v.reshape(E * HW, hl, wl)))
+            vols_t.append(jnp.asarray(v.transpose(0, 2, 3, 1)))
+        coords = jnp.asarray(
+            rng.uniform(-2, w2 + 2, (E * HW, 2)), jnp.float32)
+
+        expect = corr.lookup_pyramid_flat(vols_flat, coords)
+        corr.set_lookup_impl("pallas_v3")
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = corr.lookup_pyramid_flat(vols_t, coords)
+        finally:
+            corr.set_lookup_impl("onehot")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), atol=5e-6, rtol=5e-6)
