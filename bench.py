@@ -132,6 +132,9 @@ def main():
                     help="measured window; 3 chunks lets the 2nd/3rd "
                          "chunk's ~0.8 s image upload through the relay "
                          "overlap the previous chunk's compute")
+    ap.add_argument("--lookup", default=None,
+                    choices=["onehot", "pallas", "pallas_v2", "pallas_v3"],
+                    help="windowed-lookup implementation override")
     args = ap.parse_args()
     args.chunk = max(1, min(args.chunk, 40))
 
@@ -161,6 +164,8 @@ def main():
         overrides["frontend_pose_cap"] = args.pose_cap
     if args.depth_cap:
         overrides["frontend_depth_cap"] = args.depth_cap
+    if args.lookup:
+        overrides["lookup_impl"] = args.lookup
     cfg = SLAMConfig(
         image_size=(H, W), buffer=args.buffer, warmup=8, filter_thresh=0.0,
         **overrides,

@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--size", type=int, nargs=2, default=(240, 320))
     ap.add_argument("--cpu", action="store_true",
                     help="smoke-test on the CPU backend")
-    ap.add_argument("--lookup", choices=["onehot", "pallas"],
+    ap.add_argument("--lookup", choices=["onehot", "pallas", "pallas_v2", "pallas_v3"],
                     default="onehot",
                     help="windowed-lookup implementation to measure")
     args = ap.parse_args()
