@@ -316,9 +316,13 @@ def _lookup_kernel_v3(y0_ref, x0_ref, dy_ref, dx_ref, vol_ref, out_ref,
     dyb = dy[None, None, :]
     tx = (1.0 - dxb) * T[:, :rd] + dxb * T[:, 1:]      # (8, rd, 128)
     taps = (1.0 - dyb) * tx[:rd] + dyb * tx[1:]        # (rd, rd, 128)
-    out = jnp.zeros((8, 8, 128), f32)
-    out = out.at[:rd, :rd].set(taps)
-    out_ref[0, 0] = out
+    # pad to the (8, 8) output tile with concatenates — an `.at[].set`
+    # here lowers to scatter, which Mosaic does not implement
+    taps = jnp.concatenate(
+        [taps, jnp.zeros((8 - rd, rd, 128), f32)], axis=0)
+    taps = jnp.concatenate(
+        [taps, jnp.zeros((8, 8 - rd, 128), f32)], axis=1)
+    out_ref[0, 0] = taps
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
