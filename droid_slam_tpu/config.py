@@ -73,10 +73,15 @@ class SLAMConfig:
     # feature maps and the edge set, both fixed within the step).  Budget
     # in MB; 0 disables, volumes above the budget recompute on the fly.
     corr_cache_mb: int = 512
-    # windowed-lookup implementation: "onehot" (selector matmuls on the
-    # MXU) or "pallas" (double-rolled dynamic-rotate kernel,
-    # ops/corr_pallas.py; hardware TPU only)
-    lookup_impl: str = "onehot"
+    # windowed-lookup implementation:
+    #   "auto"      — pallas_v3 on TPU hardware, onehot elsewhere
+    #   "onehot"    — weighted-selector matmuls (pure XLA, any backend)
+    #   "pallas_v3" — queries-along-lanes masked-reduction kernel
+    #                 (ops/corr_pallas.py): 5.0x the onehot level-0
+    #                 lookup on v5e and 13.4 -> 21.5 kf/s end-to-end
+    #                 (runs/r4/{roofline_v3,bench_v3}.json); TPU only
+    #   "pallas"/"pallas_v2" — the earlier rotate kernels (kept for A/B)
+    lookup_impl: str = "auto"
 
     # --- precision ----------------------------------------------------------
     compute_dtype: str = "bfloat16"            # network compute

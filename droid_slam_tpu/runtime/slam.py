@@ -34,9 +34,14 @@ class Droid:
             params = self._random_params(seed)
         self.params = params
 
-        if config.lookup_impl != "onehot":
-            from ..ops import corr as _corr
-            _corr.set_lookup_impl(config.lookup_impl)
+        from ..ops import corr as _corr
+        impl = config.lookup_impl
+        if impl == "auto":
+            # pallas_v3 needs real TPU hardware (Mosaic); every other
+            # backend gets the pure-XLA onehot path
+            impl = ("pallas_v3" if jax.default_backend() != "cpu"
+                    else "onehot")
+        _corr.set_lookup_impl(impl)   # always: resets prior global state
         self.video = DepthVideo(config)
         self.filter = MotionFilter(self.net, params, self.video,
                                    thresh=config.filter_thresh)

@@ -95,4 +95,6 @@ def test_learned_3x_at_96x128():
     print(f"96x128: learned ATE {ate_learned:.4f} m, random-init "
           f"{ate_random:.4f} m (ratio {ate_random / ate_learned:.2f}x)")
     assert ate_learned < ate_random / 3.0, (ate_learned, ate_random)
-    assert ate_learned < 0.10, ate_learned
+    # retightened for the round-4 127.5k-step weights (median 0.051 m
+    # over 8 held-out seeds, runs/r4/eval_127500.log)
+    assert ate_learned < 0.08, ate_learned
