@@ -338,6 +338,13 @@ def lookup_flat_pallas_v3(vol_t, coords, radius=RADIUS, interpret=False):
       (E, HW, (2r+1)²) f32 taps, x-offset-major (ops.corr layout).
     """
     E, h2, w2, HW = vol_t.shape
+    if radius != RADIUS:
+        # the kernel's masks, output tile (8x8) and tap broadcasts are
+        # sized for RADIUS=3; any other radius would trace into an
+        # obscure shape/pad error (or a mis-positioned window)
+        raise ValueError(
+            f"lookup_flat_pallas_v3 only supports radius={RADIUS} "
+            f"(got {radius}); use the onehot path for other radii")
     r = radius
     rd = 2 * r + 1
     B = 128

@@ -70,7 +70,6 @@ class Backend:
         # leave full capacity to the edge-sharded distributed backend
         # (each shard holds 1/S of the edge state).
         use, _, lim = device_mem_stats()
-        budget = None
         if lim is None and jnp.zeros(()).devices().pop().platform != "cpu":
             # PJRT allocator stats are unavailable through the axon
             # relay: use the measured ceiling (DROID_HBM_GB, set by the
@@ -83,10 +82,15 @@ class Backend:
             import os
 
             from ..utils.mem import pytree_nbytes
+            # measured ceiling: 15 GB usable on the tunneled v5e (round-4
+            # barriered probe — 15x1 GB buffers fit, the 16th OOMs;
+            # PERF.md round 4 / runs/r4).  Default keeps 1 GB headroom
+            # for allocator fragmentation over a long run; scale tools
+            # may override from their own start-of-run probe.
             lim = float(os.environ.get("DROID_HBM_GB", "14")) * 1e9
             # 1.5 GB: params, compiled programs, allocator slack
             use = pytree_nbytes(self.video.state) + 1.5e9
-        if lim or budget is not None:
+        if lim:
             ht, wd = self.video.fht, self.video.fwd
             per_edge = ht * wd * (128 * 2      # net_state f16
                                   + 2 * 4 * 2  # target + weight f32
@@ -98,8 +102,7 @@ class Backend:
                                   # omitting these put the 512-kf run
                                   # ~1.5 GB over budget (backend_512d)
                                   + (2 * 6 + 2) * 4)
-            if budget is None:
-                budget = 0.80 * (lim - (use or 0))
+            budget = 0.80 * (lim - (use or 0))
             cap = max(int(budget // per_edge), 512)
             if cap < max_factors:
                 print(f"backend: HBM cap {cap} edges "

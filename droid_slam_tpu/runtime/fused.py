@@ -871,8 +871,12 @@ def make_keyframe_core(net_mod, cfg, buf, ht, wd, oracle=None):
 
 def build_keyframe_step(net_mod, cfg, buf, ht, wd, oracle=None):
     """Compile-once fused keyframe update (one dispatch, one readback)."""
+    # donate (vstate, gstate): every call site rebinds its state refs to
+    # the outputs, and under the relay's no-intra-process-free semantics
+    # a non-donated call would leak a full state copy per invocation
     return jax.jit(make_keyframe_core(net_mod, cfg, buf, ht, wd,
-                                      oracle=oracle))
+                                      oracle=oracle),
+                   donate_argnums=(1, 2))
 
 
 def make_track_core(net_mod, cfg, buf, H, W, oracle=None):
@@ -1240,37 +1244,38 @@ class FusedFrontend:
                     oracle=self.oracle,
                 )
 
-        def fresh():
-            return DepthVideo(self.cfg).state, init_graph_state(
-                EA, EI, h, w)
-
         intr8 = jnp.ones((4,), jnp.float32)
         disp = jnp.zeros((h, w), jnp.float32)
         thr = jnp.asarray(self.cfg.filter_thresh, jnp.float32)
         c = jnp.asarray(max(self.cfg.warmup + 2, 10), jnp.int32)
 
-        vs, gs = fresh()
-        out = self._step(self.params, vs, gs, c)
-        del vs, gs
+        # ONE throwaway state, chained through every program: all the
+        # track programs donate (vstate, gstate), so each call reuses the
+        # previous call's buffers in place.  Allocating a fresh full-size
+        # state per program would LEAK each one for the process lifetime
+        # under the relay's no-intra-process-free semantics (GB-scale at
+        # buffer>=512 — exactly the budget prewarm exists to protect).
+        vs = DepthVideo(self.cfg).state
+        gs = init_graph_state(EA, EI, h, w)
+        vs, gs, _ = self._step(self.params, vs, gs, c)
 
-        vs, gs = fresh()
         out = self._track(
             self.params, vs, gs, c, c,
             jnp.zeros((rig, H, W, 3), jnp.uint8),
             jnp.zeros((), jnp.float32), intr8, disp, thr,
         )
+        vs, gs = out[0], out[1]
         np.asarray(out[-1])          # block: compile done
-        del vs, gs, out
 
         for B in sorted(self._chunk_fns):
-            vs, gs = fresh()
             out = self._chunk_fns[B](
                 self.params, vs, gs, c, c,
                 jnp.zeros((B, rig, H, W, 3), jnp.uint8),
                 jnp.zeros((B,), jnp.float32), intr8, disp, thr,
             )
+            vs, gs = out[0], out[1]
             np.asarray(out[-1])
-            del vs, gs, out
+        del vs, gs, out
 
     def sync(self):
         """Block on the latest streamed frame and refresh host mirrors."""

@@ -38,8 +38,8 @@ class Droid:
         impl = config.lookup_impl
         if impl == "auto":
             # pallas_v3 needs real TPU hardware (Mosaic); every other
-            # backend gets the pure-XLA onehot path
-            impl = ("pallas_v3" if jax.default_backend() != "cpu"
+            # backend (CPU, GPU, ...) gets the pure-XLA onehot path
+            impl = ("pallas_v3" if jax.default_backend() == "tpu"
                     else "onehot")
         _corr.set_lookup_impl(impl)   # always: resets prior global state
         self.video = DepthVideo(config)
