@@ -119,7 +119,8 @@ def render_plane_scene(n_frames=12, H=96, W=128, plane_z=2.0, seed=0,
 
 
 def render_box_scene(n_frames=12, H=96, W=128, seed=0, motion_scale=0.08,
-                     box=(2.5, 1.8, 6.0), focal=0.9, n_obstacles=0):
+                     box=(2.5, 1.8, 6.0), focal=0.9, n_obstacles=0,
+                     intrinsics=None, poses_c2w=None):
     """Render a camera moving inside a textured box — varied depth,
     parallax, occlusion boundaries at wall joints, and larger motions
     than the fronto-parallel plane scene (curriculum for learned-weight
@@ -135,8 +136,13 @@ def render_box_scene(n_frames=12, H=96, W=128, seed=0, motion_scale=0.08,
 
     rng = np.random.default_rng(seed)
     bx, by, bz = box
-    fx = fy = focal * W
-    cx, cy = W / 2, H / 2
+    if intrinsics is not None:
+        # explicit pinhole calibration (e.g. the EuRoC rectified model,
+        # whose principal point is off-center) — overrides `focal`
+        fx, fy, cx, cy = [float(v) for v in intrinsics]
+    else:
+        fx = fy = focal * W
+        cx, cy = W / 2, H / 2
     intr = np.array([fx, fy, cx, cy], np.float32)
 
     # one texture per wall (5 walls: +x, −x, +y, −y, +z) + obstacles
@@ -146,7 +152,11 @@ def render_box_scene(n_frames=12, H=96, W=128, seed=0, motion_scale=0.08,
 
     # bounded random walk: translation up to ±motion_scale per frame,
     # rotation up to ±0.4·motion_scale rad, position clipped inside the
-    # box, accumulated rotation clipped to keep +z in view
+    # box, accumulated rotation clipped to keep +z in view.  Always drawn
+    # (even when an explicit trajectory overrides it) so the rng stream —
+    # and hence the obstacle geometry below — is identical for two calls
+    # with the same seed (a stereo rig renders the SAME scene twice from
+    # rigidly-offset poses).
     steps = motion_scale * rng.standard_normal((n_frames, 6))
     steps[:, 3:] *= 0.4
     steps[0] = 0
@@ -155,7 +165,11 @@ def render_box_scene(n_frames=12, H=96, W=128, seed=0, motion_scale=0.08,
     xi[:, 1] = np.clip(xi[:, 1], -0.5 * by, 0.5 * by)
     xi[:, 2] = np.clip(xi[:, 2], -0.5, 0.4 * bz)
     xi[:, 3:] = np.clip(xi[:, 3:], -0.35, 0.35)
-    poses_c2w = np.asarray(se3.exp(xi.astype(np.float32)))
+    if poses_c2w is not None:
+        poses_c2w = np.asarray(poses_c2w, np.float32)
+        n_frames = poses_c2w.shape[0]
+    else:
+        poses_c2w = np.asarray(se3.exp(xi.astype(np.float32)))
 
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
     dirs = np.stack(
