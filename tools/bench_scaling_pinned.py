@@ -11,11 +11,18 @@ point isolates the communication cost the way real 2-host ICI/DCN would.
 
 Methodology: fixed-size problem (96 frames, 48x64 feature grid, ~1.1k
 edges — the 384x512 backend regime).  Baseline = 1 process on
-`cores_per_shard` cores solving the WHOLE problem; distributed = 2
-processes on disjoint core sets of the same size, each solving half.
-Ideal time ratio = 2; efficiency = t_base / (2 * t_dist).
+`cores_per_shard` cores solving the WHOLE problem; S-shard = S
+processes on disjoint core sets of the same size, each solving 1/S.
+Ideal time ratio = S; efficiency = t_base / (S * t_dist).  Requires
+S_max * cores_per_shard <= host cores (this box: 4 cores, so the
+4-shard point runs at 1 core/shard against a 1-core baseline —
+VERDICT r4 item 6).
 
-  python tools/bench_scaling_pinned.py            # driver
+Each row reports psum bytes/GN-iteration (the solver's only cross-device
+communication: the dense pose system H+v plus the disjoint-frame depth
+merge, parallel/dba.py:337-386).
+
+  python tools/bench_scaling_pinned.py --shards 2,4 --cores_per_shard 1
   (worker mode is internal: --worker PID)
 """
 
@@ -126,10 +133,15 @@ def worker(pid, nprocs):
         run()
     dt = (time.perf_counter() - t0) / REPS / ITERS
     if pid == 0:
+        # the solver's only collectives, per GN iteration (f32):
+        #   psum(H): (P_cap*6)^2, psum(vd): P_cap*6,
+        #   psum(dz_full): buf*HT*WD  (parallel/dba.py:337-338,386)
+        psum_bytes = 4 * ((P_cap * 6) ** 2 + P_cap * 6 + BUF * HT * WD)
         print(json.dumps({"nprocs": nprocs,
                           "ms_per_iteration": round(dt * 1e3, 2),
                           "edges": int(len(ii)), "frames": T,
-                          "hw": [HT, WD], "P_cap": P_cap}), flush=True)
+                          "hw": [HT, WD], "P_cap": P_cap,
+                          "psum_bytes_per_iter": psum_bytes}), flush=True)
 
 
 def main():
@@ -137,6 +149,8 @@ def main():
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--cores_per_shard", type=int, default=2)
+    ap.add_argument("--shards", default="2",
+                    help="comma-separated shard counts, e.g. 2,4")
     args = ap.parse_args()
 
     if args.worker is not None:
@@ -145,6 +159,10 @@ def main():
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     c = args.cores_per_shard
+    shard_counts = [int(s) for s in args.shards.split(",")]
+    ncores = os.cpu_count() or 1
+    assert max(shard_counts) * c <= ncores, (
+        f"{max(shard_counts)} shards x {c} cores > {ncores} host cores")
 
     def launch(pid, nprocs, cores):
         return subprocess.Popen(
@@ -158,27 +176,31 @@ def main():
     base = json.loads(p.communicate()[0].strip().splitlines()[-1])
     print(json.dumps({**base, "cores": c, "role": "baseline"}), flush=True)
 
-    # 2 shards on disjoint core sets
-    procs = [launch(i, 2,
-                    ",".join(str(j) for j in range(i * c, (i + 1) * c)))
-             for i in range(2)]
-    out0 = procs[0].communicate()[0]
-    procs[1].wait()
-    dist = json.loads(out0.strip().splitlines()[-1])
-    print(json.dumps({**dist, "cores_per_shard": c, "role": "2-shard"}),
-          flush=True)
-
-    eff = base["ms_per_iteration"] / (2 * dist["ms_per_iteration"])
-    print(json.dumps({
-        "metric": "pinned_core_2shard_efficiency",
-        "baseline_ms": base["ms_per_iteration"],
-        "dist_ms": dist["ms_per_iteration"],
-        "efficiency": round(eff, 3),
-        "method": "fixed-size problem; baseline 1 proc on "
-                  f"{c} cores, 2 shards on disjoint {c}-core sets via "
-                  "jax.distributed (taskset), so per-shard compute is "
-                  "NOT shared — isolates communication cost",
-    }), flush=True)
+    for S in shard_counts:
+        procs = [
+            launch(i, S,
+                   ",".join(str(j) for j in range(i * c, (i + 1) * c)))
+            for i in range(S)
+        ]
+        out0 = procs[0].communicate()[0]
+        for q in procs[1:]:
+            q.wait()
+        dist = json.loads(out0.strip().splitlines()[-1])
+        eff = base["ms_per_iteration"] / (S * dist["ms_per_iteration"])
+        print(json.dumps({**dist, "cores_per_shard": c,
+                          "role": f"{S}-shard",
+                          "efficiency": round(eff, 3)}), flush=True)
+        print(json.dumps({
+            "metric": f"pinned_core_{S}shard_efficiency",
+            "baseline_ms": base["ms_per_iteration"],
+            "dist_ms": dist["ms_per_iteration"],
+            "efficiency": round(eff, 3),
+            "psum_bytes_per_iter": dist.get("psum_bytes_per_iter"),
+            "method": "fixed-size problem; baseline 1 proc on "
+                      f"{c} cores, {S} shards on disjoint {c}-core sets "
+                      "via jax.distributed (taskset), so per-shard "
+                      "compute is NOT shared — isolates communication",
+        }), flush=True)
 
 
 if __name__ == "__main__":
