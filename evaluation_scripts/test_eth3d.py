@@ -21,6 +21,10 @@ def main():
     p.add_argument("--weights", default=None)
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--backend_steps", type=int, nargs=2, default=(7, 12))
+    p.add_argument("--buffer", type=int, default=None,
+                   help="keyframe buffer override (protocol default 1024 "
+                        "per the reference test_eth3d.py:62; short "
+                        "synthetic sessions need not allocate it)")
     args = p.parse_args()
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
@@ -35,7 +39,8 @@ def main():
 
     frames = list(eth3d_stream(args.datapath, stride=args.stride))
     H, W = frames[0][1].shape[:2]
-    cfg = dataclasses.replace(PRESETS["eth3d"], image_size=(H, W))
+    over = {} if args.buffer is None else {"buffer": args.buffer}
+    cfg = dataclasses.replace(PRESETS["eth3d"], image_size=(H, W), **over)
     droid = Droid(cfg, weights_path=args.weights)
 
     for (t, image, depth, intr, _) in frames:

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--stereo", action="store_true")
     p.add_argument("--stride", type=int, default=2)
     p.add_argument("--backend_steps", type=int, nargs=2, default=(7, 12))
+    p.add_argument("--buffer", type=int, default=None,
+                   help="keyframe buffer override (protocol default 512; "
+                        "short synthetic sessions need not allocate it)")
     args = p.parse_args()
 
     from droid_slam_tpu.utils.cache import enable_compilation_cache
@@ -35,7 +38,8 @@ def main():
     from droid_slam_tpu.geom.align import associate, ate_rmse
     from droid_slam_tpu.runtime.slam import Droid
 
-    cfg = dataclasses.replace(PRESETS["euroc"], stereo=args.stereo)
+    over = {} if args.buffer is None else {"buffer": args.buffer}
+    cfg = dataclasses.replace(PRESETS["euroc"], stereo=args.stereo, **over)
     droid = Droid(cfg, weights_path=args.weights)
 
     frames = list(euroc_stream(args.datapath, stereo=args.stereo,
