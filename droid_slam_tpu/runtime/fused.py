@@ -901,7 +901,7 @@ def make_track_core(net_mod, cfg, buf, H, W, oracle=None):
                                        oracle=oracle)
 
     def track_step(params, vstate, gstate, counter, t1, image, tstamp,
-                   intr8, disp_sens, filter_thresh, fmap=None):
+                   intr8, disp_sens, filter_thresh, fmap=None, ctx=None):
         from .state import read_slot
 
         x = normalize_images(image)                    # (rig, H, W, 3)
@@ -934,10 +934,17 @@ def make_track_core(net_mod, cfg, buf, H, W, oracle=None):
 
         def kf_branch(vstate, gstate, counter, t1):
             # context features only for keyframes (motion_filter.py:61,77)
-            ctx = net_mod.apply(
-                params, x[0:1], method=lambda m, x: m.cnet(x)
-            )
-            netc, inpc = jnp.split(ctx[0], 2, axis=-1)
+            # in latency mode; the chunked program hoists cnet out of its
+            # scan as one batch-B stack (like fnet — batch-1 convs leave
+            # the MXU mostly idle) and passes per-frame ctx in.  Instance
+            # norm is per-sample, so the values are identical.
+            if ctx is None:
+                ctx_ = net_mod.apply(
+                    params, x[0:1], method=lambda m, x: m.cnet(x)
+                )[0]
+            else:
+                ctx_ = ctx
+            netc, inpc = jnp.split(ctx_, 2, axis=-1)
             netc = jnp.tanh(netc)
             inpc = jax.nn.relu(inpc)
 
@@ -1009,18 +1016,26 @@ def build_track_chunk(net_mod, cfg, buf, H, W, chunk, oracle=None):
         x = normalize_images(images.reshape((B * rig,) + images.shape[2:]))
         fmaps = net_mod.apply(params, x, method=lambda m, v: m.fnet(v))
         fmaps = fmaps.reshape((B, rig) + fmaps.shape[1:])
+        # cnet hoisted too: the reference computes context only for
+        # accepted keyframes (motion_filter.py:61,77), but one batch-B
+        # conv stack costs several times less than per-keyframe batch-1
+        # stacks even at a 25% keyframe rate — and throughput mode is
+        # the every-frame-is-a-keyframe regime.  Left image only.
+        ctxs = net_mod.apply(params, x[::rig],
+                             method=lambda m, v: m.cnet(v))
 
         def body(carry, frame):
             vstate, gstate, counter, t1 = carry
-            image, tstamp, fmap = frame
+            image, tstamp, fmap, ctx = frame
             vstate, gstate, counter, t1, flags = inner(
                 params, vstate, gstate, counter, t1, image, tstamp,
-                intr8, disp_sens, filter_thresh, fmap=fmap,
+                intr8, disp_sens, filter_thresh, fmap=fmap, ctx=ctx,
             )
             return (vstate, gstate, counter, t1), flags
 
         (vstate, gstate, counter, t1), flags = jax.lax.scan(
-            body, (vstate, gstate, counter, t1), (images, tstamps, fmaps)
+            body, (vstate, gstate, counter, t1),
+            (images, tstamps, fmaps, ctxs)
         )
         return vstate, gstate, counter, t1, flags[-1]
 
