@@ -64,6 +64,16 @@ def main():
     mode = "stereo" if args.stereo else "mono"
     print(f"EuRoC {osp.basename(args.datapath)} ({mode}): "
           f"ATE RMSE = {ate:.4f} m over {len(matches)} poses")
+    if args.stereo:
+        # diagnostic: if the Sim3-corrected ATE is much smaller, the
+        # SE3 error above is dominated by the stereo-unit scale (rig
+        # tx=-0.1 => 1 internal unit = baseline/0.1 m), not by tracking
+        ate_s = ate_rmse(ref, est, correct_scale=True)
+        n_e = np.linalg.norm(est - est.mean(0), axis=1)
+        n_r = np.linalg.norm(ref - ref.mean(0), axis=1)
+        s = float((n_e * n_r).sum() / max((n_e ** 2).sum(), 1e-12))
+        print(f"  [diag] Sim3-corrected ATE = {ate_s:.4f} m; "
+              f"best-fit scale ref/est = {s:.4f}")
 
 
 if __name__ == "__main__":
