@@ -51,7 +51,7 @@ sleep 90
 
 echo "=== [3/3] TUM full preset, shipped 127.5k weights ==="
 JAX_PLATFORMS= timeout 3600 python evaluation_scripts/test_tum.py \
-    --datapath /root/tum_synth --weights weights/droid_synth.npz \
+    --datapath /tmp/tum_synth --weights weights/droid_synth.npz \
     > runs/r5/tum_preset_127500.log 2>&1 || true
 tail -5 runs/r5/tum_preset_127500.log
 echo "=== window done at $(date -Is) ==="

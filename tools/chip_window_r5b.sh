@@ -31,7 +31,7 @@ sleep 90
 
 echo "=== [1/3] EuRoC stereo (320x512, buffer 192) ==="
 JAX_PLATFORMS= timeout 5400 python evaluation_scripts/test_euroc.py \
-    --datapath /root/euroc_synth --gt /root/euroc_synth/groundtruth.txt \
+    --datapath /tmp/euroc_synth --gt /tmp/euroc_synth/groundtruth.txt \
     --weights weights/droid_synth.npz --stereo --buffer 192 \
     > runs/r5/euroc_stereo.log 2>&1 || true
 tail -3 runs/r5/euroc_stereo.log
@@ -39,7 +39,7 @@ sleep 90
 
 echo "=== [2/3] EuRoC mono ==="
 JAX_PLATFORMS= timeout 4800 python evaluation_scripts/test_euroc.py \
-    --datapath /root/euroc_synth --gt /root/euroc_synth/groundtruth.txt \
+    --datapath /tmp/euroc_synth --gt /tmp/euroc_synth/groundtruth.txt \
     --weights weights/droid_synth.npz --buffer 192 \
     > runs/r5/euroc_mono.log 2>&1 || true
 tail -3 runs/r5/euroc_mono.log
@@ -47,7 +47,7 @@ sleep 90
 
 echo "=== [3/3] ETH3D RGB-D (480x736, buffer 256) ==="
 JAX_PLATFORMS= timeout 5400 python evaluation_scripts/test_eth3d.py \
-    --datapath /root/eth3d_synth --weights weights/droid_synth.npz \
+    --datapath /tmp/eth3d_synth --weights weights/droid_synth.npz \
     --buffer 256 \
     > runs/r5/eth3d_rgbd.log 2>&1 || true
 tail -3 runs/r5/eth3d_rgbd.log
