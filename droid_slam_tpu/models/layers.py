@@ -54,6 +54,43 @@ class InstanceNorm(nn.Module):
         return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
 
 
+class ConvParams(nn.Module):
+    """Declare nn.Conv-compatible parameters WITHOUT the conv compute.
+
+    Same param names ("kernel" (kh,kw,in,out), "bias" (out,)), shapes and
+    initializers as the `conv` helper below, so a module can fuse several
+    logical convs into one device conv (concatenated kernels) while its
+    checkpoint tree stays bit-identical to the unfused layout — shipped
+    npz weights and the torch converter keep working unchanged.
+    """
+
+    features: int
+    in_ch: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (self.kernel, self.kernel, self.in_ch, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+def conv_nhwc(x, kernel, bias, pad=None):
+    """Plain NHWC conv on explicit kernel/bias arrays (stride 1)."""
+    kh = kernel.shape[0]
+    if pad is None:
+        pad = kh // 2
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias.astype(x.dtype)
+
+
 def conv(features, kernel=3, stride=1, pad=None, name=None, dtype=None):
     """2D conv with explicit symmetric padding (torch-compatible shapes).
 

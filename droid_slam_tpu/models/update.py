@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .gru import ConvGRU
-from .layers import conv, grad_clip
+from .layers import ConvParams, conv, conv_nhwc, grad_clip
 
 COR_PLANES = 4 * (2 * 3 + 1) ** 2  # 196 (droid_net.py:81)
 
@@ -92,13 +92,33 @@ class UpdateModule(nn.Module):
             net, jnp.concatenate([inp, cor, flo], axis=-1)
         )
 
-        d = nn.relu(conv(128, 3, name="delta_0", dtype=self.dtype)(net))
-        delta = grad_clip(conv(2, 3, name="delta_2",
-                               dtype=self.dtype)(d).astype(jnp.float32))
-
-        w = nn.relu(conv(128, 3, name="weight_0", dtype=self.dtype)(net))
-        weight = nn.sigmoid(grad_clip(conv(2, 3, name="weight_2",
-                                           dtype=self.dtype)(w).astype(jnp.float32)))
+        # delta/weight heads run as ONE fused conv pair instead of four:
+        # a (3,3,128,2) conv wastes >98% of the MXU's output lanes, and
+        # the round-5 device trace priced the two 2-channel head convs
+        # at 1.9 ms/keyframe (runs/r5/profile_chunk).  Param tree is
+        # unchanged (ConvParams declares the same delta_0/weight_0/
+        # delta_2/weight_2 kernels); stage 2 uses a block-diagonal
+        # kernel so delta still sees only the delta branch — math is
+        # bit-identical to the unfused form.
+        kd0, bd0 = ConvParams(128, 128, 3, name="delta_0")()
+        kw0, bw0 = ConvParams(128, 128, 3, name="weight_0")()
+        kd2, bd2 = ConvParams(2, 128, 3, name="delta_2")()
+        kw2, bw2 = ConvParams(2, 128, 3, name="weight_2")()
+        h = nn.relu(conv_nhwc(
+            net,
+            jnp.concatenate([kd0, kw0], axis=-1),
+            jnp.concatenate([bd0, bw0], axis=-1),
+        ))
+        z2 = jnp.zeros_like(kd2)
+        k2 = jnp.concatenate(
+            [jnp.concatenate([kd2, z2], axis=-1),
+             jnp.concatenate([z2, kw2], axis=-1)], axis=2,
+        )                                         # (3, 3, 256, 4)
+        dw = conv_nhwc(
+            h, k2, jnp.concatenate([bd2, bw2], axis=-1)
+        ).astype(jnp.float32)
+        delta = grad_clip(dw[..., :2])
+        weight = nn.sigmoid(grad_clip(dw[..., 2:]))
 
         if ix is None:
             return net, delta, weight

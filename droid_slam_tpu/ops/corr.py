@@ -281,14 +281,16 @@ def lookup_pyramid_flat(vols, coords, radius=RADIUS, view=None):
     for l, v in enumerate(vols):
         c = coords / (2.0 ** l)
         if lookup_impl_name == "pallas_v3":
-            # v is the TRANSPOSED (E, h2, w2, HW) layout this impl wants
-            # (make_edge_volumes builds it that way when selected)
+            # v is the TRANSPOSED (E, h2, w2p, HWp) layout this impl
+            # wants (make_edge_volumes builds it that way, pre-padded to
+            # the kernel's lane/sublane multiples); the LOGICAL query
+            # count comes from coords, not the padded volume
             from .corr_pallas import lookup_flat_pallas_v3
-            E, h2, w2, HW = v.shape
+            E = v.shape[0]
             outs.append(
                 lookup_flat_pallas_v3(
-                    v, c.reshape(E, HW, 2), radius
-                ).reshape(E * HW, -1)
+                    v, c.reshape(E, -1, 2), radius
+                ).reshape(coords.shape[0], -1)
             )
         elif lookup_level_impl is lookup_level_onehot:
             outs.append(lookup_level_onehot_flat(v, c, radius))

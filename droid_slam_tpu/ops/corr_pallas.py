@@ -288,12 +288,16 @@ def _lookup_kernel_v3(y0_ref, x0_ref, dy_ref, dx_ref, vol_ref, out_ref,
     zero-contribution border semantics (same as ops.corr one-hot).
 
     vol_ref: (1, h2, w2, 128) bf16 — NOTE the transposed (plane, query)
-    layout vs the (query, plane) layout the one-hot path uses.
+    layout vs the (query, plane) layout the one-hot path uses.  The 128
+    queries are a LANE-slice of the full (E, h2, w2p, HWp) volume, so
+    the builder's natural einsum output feeds the kernel with zero
+    relayout (round-5 trace: the old (E,nblk,h2,w2,B) transpose cost
+    2.9 ms/keyframe, runs/r5/profile_chunk).
     out_ref: (1, 8, 8, 128) f32; rows/cols beyond rd are zero-padding.
     R_ref:   (8, w2, 128) f32 VMEM scratch.
     """
     f32 = jnp.float32
-    vol = vol_ref[0, 0].astype(f32)                    # (h2, w2, 128)
+    vol = vol_ref[0].astype(f32)                       # (h2, w2, 128)
     y0 = y0_ref[0, 0, 0]                               # (128,) i32
     x0 = x0_ref[0, 0, 0]
     dy = dy_ref[0, 0, 0].astype(f32)                   # (128,) f32
@@ -332,12 +336,17 @@ def lookup_flat_pallas_v3(vol_t, coords, radius=RADIUS, interpret=False):
     Args:
       vol_t: (E, h2, w2, HW) — per-edge volume with the QUERY pixel
         LAST (build with einsum("eqc,epc->eqp"); the one-hot path uses
-        the (E·HW, h2, w2) layout instead).
+        the (E·HW, h2, w2) layout instead).  May arrive pre-padded
+        (w2 to a sublane multiple, HW to a lane multiple, zeros) —
+        make_edge_volumes pads BEFORE its einsum so the volume is born
+        in the kernel's layout and no whole-volume relayout/pad runs
+        per keyframe.  Logical query count is taken from `coords`.
       coords: (E, HW, 2) float [x, y] in level units.
     Returns:
       (E, HW, (2r+1)²) f32 taps, x-offset-major (ops.corr layout).
     """
-    E, h2, w2, HW = vol_t.shape
+    E, h2, w2, HWv = vol_t.shape
+    HW = coords.shape[1]
     if radius != RADIUS:
         # the kernel's masks, output tile (8x8) and tap broadcasts are
         # sized for RADIUS=3; any other radius would trace into an
@@ -348,10 +357,11 @@ def lookup_flat_pallas_v3(vol_t, coords, radius=RADIUS, interpret=False):
     r = radius
     rd = 2 * r + 1
     B = 128
-    nblk = (HW + B - 1) // B
+    nblk = (max(HW, HWv) + B - 1) // B
     HWp = nblk * B
+    if HWp != HWv:      # un-pre-padded caller (tests/tools): pad here
+        vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, 0), (0, HWp - HWv)))
     if HWp != HW:
-        vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, 0), (0, HWp - HW)))
         coords = jnp.pad(coords, ((0, 0), (0, HWp - HW), (0, 0)),
                          constant_values=-1e4)
     # w2 must be a sublane multiple for the (w2, 128) scratch/tiles
@@ -369,8 +379,8 @@ def lookup_flat_pallas_v3(vol_t, coords, radius=RADIUS, interpret=False):
     x0 = jnp.clip(x0f, -2e4, 2e4).astype(jnp.int32)
     y0 = jnp.clip(y0f, -2e4, 2e4).astype(jnp.int32)
 
-    vol_b = vol_t.reshape(E, h2, w2p, nblk, B).transpose(0, 3, 1, 2, 4)
-
+    # the volume stays 4-D; each program takes a 128-query LANE slice —
+    # no reshape/transpose of the 184 MB level-0 volume anywhere
     out = pl.pallas_call(
         functools.partial(_lookup_kernel_v3, rd=rd, h2=h2, w2=w2p),
         grid=(E, nblk),
@@ -383,8 +393,8 @@ def lookup_flat_pallas_v3(vol_t, coords, radius=RADIUS, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, B), lambda e, b: (e, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h2, w2p, B),
-                         lambda e, b: (e, b, 0, 0, 0),
+            pl.BlockSpec((1, h2, w2p, B),
+                         lambda e, b: (e, 0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 8, 8, B),
@@ -395,7 +405,7 @@ def lookup_flat_pallas_v3(vol_t, coords, radius=RADIUS, interpret=False):
         interpret=interpret,
     )(
         y0.reshape(E, nblk, 1, B), x0.reshape(E, nblk, 1, B),
-        dy.reshape(E, nblk, 1, B), dx.reshape(E, nblk, 1, B), vol_b,
+        dy.reshape(E, nblk, 1, B), dx.reshape(E, nblk, 1, B), vol_t,
     )
     # (E, nblk, oy, ox, q) -> (E, HW, ox, oy) -> x-major channels
     taps = out[:, :, :rd, :rd].transpose(0, 1, 4, 3, 2)

@@ -259,11 +259,18 @@ def _pose_system(Hblk, v, ii, jj, t0, P, edge_mask,
                  chunk_threshold=400_000_000):
     """Dense pose window via selector contraction (no scatter).
 
+    Returns the system FLAT — H (6P, 6P), vd (6P,) — not (P,6,P,6):
+    the round-5 device trace attributed 4 ms/keyframe to adds/bitcasts
+    on the 4-D form, whose XLA layout ({2,0,3,1}, 8x128 tiles over the
+    6-sized dims) runs at ~1 GB/s; the flat 2-D form tiles cleanly and
+    every downstream op (Schur subtract, damping, Cholesky) wants it
+    flat anyway (runs/r5/profile_chunk, PERF.md round 5).
+
     The 3-operand einsum's pairwise path materializes an
     (E, 2·6·6, P) f32 intermediate — 3.4 GB at the 1000-keyframe
     backend (E≈4.9k, P=1024), the OOM of runs/r4/backend_1000b.log —
     so past a ~0.4 GB intermediate the contraction runs as an edge-
-    chunked scan accumulating directly into the (P,6,P,6) system.
+    chunked scan (4-D accumulator, flattened once after the scan).
     """
     pi = ii - t0
     pj = jj - t0
@@ -272,9 +279,17 @@ def _pose_system(Hblk, v, ii, jj, t0, P, edge_mask,
     E = ii.shape[0]
 
     if E * 72 * P * 4 <= chunk_threshold:
+        # block-expanded selector W[e, r*6+a, p*6+b] = U[e,r,p]·δ_ab —
+        # the same bytes as the old einsum intermediate, but both
+        # contractions become plain 2-D-output dots (clean layouts)
         U = jnp.stack([Pi, Pj], axis=1)                   # (E, 2, P)
-        H = jnp.einsum("erasb,erp,esq->paqb", Hblk, U, U, precision=_HIGH)
-        vd = jnp.einsum("era,erp->pa", v, U, precision=_HIGH)
+        eye6 = jnp.eye(6, dtype=U.dtype)
+        W = (U[:, :, None, :, None]
+             * eye6[None, None, :, None, :]).reshape(E, 12, P * 6)
+        Hf = Hblk.reshape(E, 12, 12)
+        T = jnp.einsum("exy,eyj->exj", Hf, W, precision=_HIGH)
+        H = jnp.einsum("exi,exj->ij", W, T, precision=_HIGH)
+        vd = jnp.einsum("ex,exi->i", v.reshape(E, 12), W, precision=_HIGH)
         return H, vd, Pj
 
     chunk = LIN_CHUNK
@@ -303,7 +318,7 @@ def _pose_system(Hblk, v, ii, jj, t0, P, edge_mask,
         (jnp.zeros((P, 6, P, 6)), jnp.zeros((P, 6))),
         jnp.arange(nch),
     )
-    return H, vd, Pj
+    return H.reshape(P * 6, P * 6), vd.reshape(P * 6), Pj
 
 
 @partial(jax.jit, static_argnames=("iters", "motion_only", "P",
@@ -397,7 +412,10 @@ def ba(
                 C_c = C_c + ms * ALPHA + (1.0 - ms) * eta_k[sl]
                 w_c = w_c - ms * ALPHA * (dk[sl] - dsk[sl])
                 Q_c = jnp.where(km_c[:, None], 1.0 / C_c, 0.0)
-                return E_dense, Q_c, w_c
+                # flat (CK, 6P, HW): (p,6) are adjacent dims, so this is
+                # a free dim-merge; downstream contractions become 2-D-
+                # output dots on layouts XLA tiles well (PERF.md round 5)
+                return E_dense.reshape(CK, P * 6, HW), Q_c, w_c
 
             def chunk_E_compact(c):
                 """Local coupling block (CK, Dp, 6, HW) + scatter map
@@ -437,29 +455,32 @@ def ba(
                 C_c = C_c + ms * ALPHA + (1.0 - ms) * eta_k[sl]
                 w_c = w_c - ms * ALPHA * (dk[sl] - dsk[sl])
                 Q_c = jnp.where(km_c[:, None], 1.0 / C_c, 0.0)
-                # local -> global pose scatter (one-hot, shared by the
+                # local -> global pose scatter, block-expanded to the
+                # flat (Dp·6, P·6) form (one-hot rows, shared by the
                 # whole chunk)
                 G = _onehot(Lc, P, Lv)
-                return E_loc, Q_c, w_c, G
+                Dp = Lc.shape[0]
+                G6 = (G[:, None, :, None]
+                      * jnp.eye(6, dtype=G.dtype)[None, :, None, :]
+                      ).reshape(Dp * 6, P * 6)
+                return E_loc.reshape(CK, Dp * 6, HW), Q_c, w_c, G6
 
             if compact:
                 def schur_step(carry, c):
                     S, vs = carry
-                    E_loc, Q_c, w_c, G = chunk_E_compact(c)
+                    E_loc, Q_c, w_c, G6 = chunk_E_compact(c)
                     # (Dp·6)² local Schur block, summed over the chunk's
-                    # frames (they share G), then scattered into (P·6)²
+                    # frames (they share G6), then scattered into (P·6)²
                     S_loc = jnp.einsum(
-                        "cdah,cfbh->dafb",
-                        E_loc * Q_c[:, None, None, :], E_loc,
+                        "cxh,cyh->xy", E_loc * Q_c[:, None, :], E_loc,
                         precision=_HIGH,
                     )
-                    T1 = jnp.einsum("dafb,dp->pafb", S_loc, G,
+                    T1 = jnp.einsum("xy,yj->xj", S_loc, G6,
                                     precision=_HIGH)
-                    S_c = jnp.einsum("pafb,fq->paqb", T1, G,
-                                     precision=_HIGH)
-                    v_loc = jnp.einsum("cdah,ch->da", E_loc, Q_c * w_c,
+                    S_c = jnp.einsum("xi,xj->ij", G6, T1, precision=_HIGH)
+                    v_loc = jnp.einsum("cxh,ch->x", E_loc, Q_c * w_c,
                                        precision=_HIGH)
-                    v_c = jnp.einsum("da,dp->pa", v_loc, G,
+                    v_c = jnp.einsum("x,xi->i", v_loc, G6,
                                      precision=_HIGH)
                     return (S + S_c, vs + v_c), None
             else:
@@ -467,33 +488,34 @@ def ba(
                     S, vs = carry
                     E_dense, Q_c, w_c = chunk_E_dense(c)
                     S_c = jnp.einsum(
-                        "cpah,cqbh->paqb", E_dense * Q_c[:, None, None, :],
+                        "cxh,cyh->xy", E_dense * Q_c[:, None, :],
                         E_dense, precision=_HIGH,
                     )
                     v_c = jnp.einsum(
-                        "cpah,ch->pa", E_dense, Q_c * w_c, precision=_HIGH
+                        "cxh,ch->x", E_dense, Q_c * w_c, precision=_HIGH
                     )
                     return (S + S_c, vs + v_c), None
 
             (S, vs), _ = jax.lax.scan(
                 schur_step,
-                (jnp.zeros((P, 6, P, 6)), jnp.zeros((P, 6))),
+                (jnp.zeros((P * 6, P * 6)), jnp.zeros((P * 6,))),
                 jnp.arange(nchunks),
             )
             H = H - S
             vd = vd - vs
 
-        # dense damped pose solve
-        A = H.reshape(P * 6, P * 6)
+        # dense damped pose solve (H, vd already flat: (6P,6P), (6P,))
+        A = H
         eye = jnp.eye(P * 6, dtype=A.dtype)
         A = A + (ep + lm * A) * eye
         L = jnp.linalg.cholesky(A)
         y = jax.scipy.linalg.solve_triangular(
-            L, vd.reshape(P * 6, 1), lower=True
+            L, vd[:, None], lower=True
         )
         dx = jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
         ok = jnp.all(jnp.isfinite(dx))
-        dx = jnp.where(ok, dx, 0.0).reshape(P, 6)
+        dxf = jnp.where(ok, dx, 0.0).reshape(P * 6)
+        dx = dxf.reshape(P, 6)
 
         # retract poses in [t0, t1): selector matmul, no gather
         fidx = jnp.arange(buf)
@@ -506,17 +528,17 @@ def ba(
             # dz = Q (w − Eᵀ dx), recomputing chunks
             if compact:
                 def dz_step(_, c):
-                    E_loc, Q_c, w_c, G = chunk_E_compact(c)
-                    dx_loc = jnp.einsum("dp,pa->da", G, dx,
+                    E_loc, Q_c, w_c, G6 = chunk_E_compact(c)
+                    dx_loc = jnp.einsum("xi,i->x", G6, dxf,
                                         precision=_HIGH)
-                    Edx = jnp.einsum("cdah,da->ch", E_loc, dx_loc,
+                    Edx = jnp.einsum("cxh,x->ch", E_loc, dx_loc,
                                      precision=_HIGH)
                     return None, Q_c * (w_c - Edx)
             else:
                 def dz_step(_, c):
                     E_dense, Q_c, w_c = chunk_E_dense(c)
                     Edx = jnp.einsum(
-                        "cpah,pa->ch", E_dense, dx, precision=_HIGH
+                        "cxh,x->ch", E_dense, dxf, precision=_HIGH
                     )
                     return None, Q_c * (w_c - Edx)
 

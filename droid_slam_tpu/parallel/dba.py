@@ -263,7 +263,8 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
                     "cah,cp->cpah", E_self, Pk, precision=_HIGH
                 )
                 Q_c, w_c = _depth_terms(M, kx_c, km_c, c)
-                return E_dense, Q_c, w_c
+                # flat (CK, 6P, HW) — see ops/dba.py round-5 note
+                return E_dense.reshape(CK, P_cap * 6, HW), Q_c, w_c
 
             def chunk_E_compact(c):
                 """Per-shard compact coupling (ops/dba.py compact path)."""
@@ -295,24 +296,27 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
                 )
                 Q_c, w_c = _depth_terms(M, kx_c, km_c, c)
                 G = dba_ops._onehot(Lc, P_cap, Lv)
-                return E_loc, Q_c, w_c, G
+                Dp_ = Lc.shape[0]
+                G6 = (G[:, None, :, None]
+                      * jnp.eye(6, dtype=G.dtype)[None, :, None, :]
+                      ).reshape(Dp_ * 6, P_cap * 6)
+                return E_loc.reshape(CK, Dp_ * 6, HW), Q_c, w_c, G6
 
             if compact:
                 def schur_step(carry, c):
                     S, vs = carry
-                    E_loc, Q_c, w_c, G = chunk_E_compact(c)
+                    E_loc, Q_c, w_c, G6 = chunk_E_compact(c)
                     S_loc = jnp.einsum(
-                        "cdah,cfbh->dafb",
-                        E_loc * Q_c[:, None, None, :], E_loc,
+                        "cxh,cyh->xy", E_loc * Q_c[:, None, :], E_loc,
                         precision=_HIGH,
                     )
-                    T1 = jnp.einsum("dafb,dp->pafb", S_loc, G,
+                    T1 = jnp.einsum("xy,yj->xj", S_loc, G6,
                                     precision=_HIGH)
-                    S_c = jnp.einsum("pafb,fq->paqb", T1, G,
+                    S_c = jnp.einsum("xi,xj->ij", G6, T1,
                                      precision=_HIGH)
-                    v_loc = jnp.einsum("cdah,ch->da", E_loc, Q_c * w_c,
+                    v_loc = jnp.einsum("cxh,ch->x", E_loc, Q_c * w_c,
                                        precision=_HIGH)
-                    v_c = jnp.einsum("da,dp->pa", v_loc, G,
+                    v_c = jnp.einsum("x,xi->i", v_loc, G6,
                                      precision=_HIGH)
                     return (S + S_c, vs + v_c), None
             else:
@@ -320,35 +324,38 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
                     S, vs = carry
                     E_dense, Q_c, w_c = chunk_E_dense(c)
                     S_c = jnp.einsum(
-                        "cpah,cqbh->paqb", E_dense * Q_c[:, None, None, :],
+                        "cxh,cyh->xy", E_dense * Q_c[:, None, :],
                         E_dense, precision=_HIGH,
                     )
-                    v_c = jnp.einsum("cpah,ch->pa", E_dense, Q_c * w_c,
+                    v_c = jnp.einsum("cxh,ch->x", E_dense, Q_c * w_c,
                                      precision=_HIGH)
                     return (S + S_c, vs + v_c), None
 
             (S, vs), _ = jax.lax.scan(
                 schur_step,
-                (jnp.zeros((P_cap, 6, P_cap, 6)), jnp.zeros((P_cap, 6))),
+                (jnp.zeros((P_cap * 6, P_cap * 6)),
+                 jnp.zeros((P_cap * 6,))),
                 jnp.arange(nchunks),
             )
 
             # === the ONLY cross-device communication: pose system ===
+            # (flat (6P,6P) + (6P,): same bytes psum'd as the 4-D form)
             H = jax.lax.psum(H - S, axis)
             vd = jax.lax.psum(vd - vs, axis)
 
             # replicated dense solve (identical on every device)
-            A = H.reshape(P_cap * 6, P_cap * 6)
+            A = H
             eye = jnp.eye(P_cap * 6, dtype=A.dtype)
             A = A + (ep + lm * A) * eye
             L = jnp.linalg.cholesky(A)
             y = jax.scipy.linalg.solve_triangular(
-                L, vd.reshape(-1, 1), lower=True
+                L, vd[:, None], lower=True
             )
             dx = jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
-            dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0).reshape(
-                P_cap, 6
+            dxf = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0).reshape(
+                P_cap * 6
             )
+            dx = dxf.reshape(P_cap, 6)
 
             fidx = jnp.arange(buf)
             sel = dba_ops._onehot(
@@ -360,16 +367,16 @@ def make_distributed_ba(mesh, axis="ba", *, iters=2, lm=1e-5, ep=1e-2,
             # local depth update, then psum-merge the disjoint frame sets
             if compact:
                 def dz_step(_, c):
-                    E_loc, Q_c, w_c, G = chunk_E_compact(c)
-                    dx_loc = jnp.einsum("dp,pa->da", G, dx,
+                    E_loc, Q_c, w_c, G6 = chunk_E_compact(c)
+                    dx_loc = jnp.einsum("xi,i->x", G6, dxf,
                                         precision=_HIGH)
-                    Edx = jnp.einsum("cdah,da->ch", E_loc, dx_loc,
+                    Edx = jnp.einsum("cxh,x->ch", E_loc, dx_loc,
                                      precision=_HIGH)
                     return None, Q_c * (w_c - Edx)
             else:
                 def dz_step(_, c):
                     E_dense, Q_c, w_c = chunk_E_dense(c)
-                    Edx = jnp.einsum("cpah,pa->ch", E_dense, dx,
+                    Edx = jnp.einsum("cxh,x->ch", E_dense, dxf,
                                      precision=_HIGH)
                     return None, Q_c * (w_c - Edx)
 

@@ -492,18 +492,30 @@ def make_edge_volumes(cfg, EA, ht, wd):
         cam2 = rig * jj_a + (ii_a == jj_a).astype(jnp.int32) * (rig - 1)
         f1f = f1.reshape(EA, ht * wd, -1)
         transposed = corr_ops.lookup_impl_name == "pallas_v3"
+        if transposed:
+            # pad the QUERY axis to the kernel's 128-lane multiple on
+            # the small feature map (EA·HW·128 bf16), so the big volume
+            # is born padded — the round-5 trace priced padding/
+            # transposing the built volume at 2.9 ms/keyframe
+            HW = ht * wd
+            HWp = -(-HW // 128) * 128
+            f1p = jnp.pad(f1f, ((0, 0), (0, HWp - HW), (0, 0)))
         vols = []
         for p in fmap_pyr:
             f2 = take_rows(p, cam2).astype(jnp.float32) / 4.0
             h2, w2 = f2.shape[1:3]
             if transposed:
-                # (E, h2·w2 volume pixels, HW query pixels) — the layout
-                # the v3 queries-along-lanes kernel consumes directly
+                # (E, h2, w2p, HWp): exactly the v3 kernel's blocked
+                # layout (queries on lanes, sublane-aligned plane width)
+                w2p = -(-w2 // 8) * 8
+                f2p = jnp.pad(
+                    f2, ((0, 0), (0, 0), (0, w2p - w2), (0, 0))
+                ).reshape(EA, h2 * w2p, -1)
                 v = jnp.einsum(
-                    "eqc,epc->eqp", f2.reshape(EA, h2 * w2, -1), f1f,
+                    "eqc,epc->eqp", f2p, f1p,
                     preferred_element_type=jnp.float32,
                 ).astype(jnp.bfloat16)
-                vols.append(v.reshape(EA, h2, w2, ht * wd))
+                vols.append(v.reshape(EA, h2, w2p, HWp))
             else:
                 v = jnp.einsum(
                     "epc,eqc->epq", f1f, f2.reshape(EA, h2 * w2, -1),

@@ -282,10 +282,12 @@ class TestCompactSchur:
             loc_pose=jnp.asarray(loc), loc_valid=jnp.asarray(val),
         )
         # the compact path contracts in a different order, so f32
-        # accumulation differs at ~1e-5; at float64 the two paths agree
-        # to 1e-13 (verified), i.e. the logic is exact
+        # accumulation differs at ~1e-4 over 2 iterations (the round-5
+        # flat-Hessian dots reorder sums again); at float64 the two
+        # paths agree to 9e-14 (re-verified 2026-08-20), i.e. the logic
+        # is exact
         np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_dense),
-                                   rtol=0, atol=1e-4)
+                                   rtol=0, atol=3e-4)
         np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_dense),
                                    rtol=0, atol=1e-3)
 
