@@ -199,3 +199,35 @@ class TestPallasLookupV3:
             corr.set_lookup_impl("onehot")
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(expect), atol=5e-6, rtol=5e-6)
+
+
+    def test_pyramid_flat_dispatch_v3_prepadded(self):
+        """The production path (runtime/fused.make_edge_volumes) builds
+        v3 volumes PRE-PADDED (w2 to a sublane multiple, HW to a lane
+        multiple, zeros) so the kernel's lane-blocked input needs no
+        relayout; the dispatch must give identical taps for the padded
+        and unpadded forms of the same volume."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(8)
+        E, HW = 2, 140                       # HWp = 256
+        h2, w2 = 12, 20                      # w2p = 24
+        HWp = 256
+        v = rng.standard_normal((E, HW, h2, w2)).astype(np.float32)
+        vol_t = v.transpose(0, 2, 3, 1)      # (E, h2, w2, HW)
+        vol_pad = np.zeros((E, h2, w2 + 4, HWp), np.float32)
+        vol_pad[:, :, :w2, :HW] = vol_t
+        coords = jnp.asarray(
+            rng.uniform(-2, w2 + 2, (E * HW, 2)), jnp.float32)
+
+        corr.set_lookup_impl("pallas_v3")
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got_pad = corr.lookup_pyramid_flat(
+                    [jnp.asarray(vol_pad)], coords)
+                got_raw = corr.lookup_pyramid_flat(
+                    [jnp.asarray(vol_t)], coords)
+        finally:
+            corr.set_lookup_impl("onehot")
+        np.testing.assert_allclose(
+            np.asarray(got_pad), np.asarray(got_raw), atol=0, rtol=0)
