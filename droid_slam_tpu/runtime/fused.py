@@ -472,9 +472,13 @@ def _volume_cache_fits(cfg, EA, ht, wd):
     tgt = 0
     h2, w2 = ht, wd
     for _ in range(corr_ops.NUM_LEVELS):
-        tgt += h2 * w2
+        # the v3 path stores volumes born-padded (w2 to a sublane
+        # multiple); budget for the padded width so the static cache
+        # decision stays honest at small levels
+        tgt += h2 * (-(-w2 // 8) * 8)
         h2, w2 = h2 // 2, w2 // 2
-    return EA * ht * wd * tgt * 2 <= cfg.corr_cache_mb * 1_000_000
+    hwp = -(-ht * wd // 128) * 128
+    return EA * hwp * tgt * 2 <= cfg.corr_cache_mb * 1_000_000
 
 
 def make_edge_volumes(cfg, EA, ht, wd):
