@@ -61,7 +61,7 @@ def _relay_state():
     return state
 
 
-def _wait_for_accelerator(probes=2, probe_timeout_s=40, backoff_s=10,
+def _wait_for_accelerator(probes=2, probe_timeout_s=90, backoff_s=10,
                           log_path="runs/bench_watchdog.jsonl"):
     """Probe device enumeration in a subprocess, retrying with backoff.
 
@@ -87,9 +87,17 @@ def _wait_for_accelerator(probes=2, probe_timeout_s=40, backoff_s=10,
         os.environ.get("DROID_BENCH_PROBE_TIMEOUT", probe_timeout_s))
     backoff_s = float(os.environ.get("DROID_BENCH_BACKOFF", backoff_s))
     os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+    # the probe EXECUTES a small op, not just enumeration: on 08-20 the
+    # relay entered a state where jax.devices() answered instantly but
+    # every execution hung forever (runs/r5, training stall + 150 s
+    # probe timeouts) — an enumeration-only probe would pass and the
+    # bench would then hang to the driver's opaque rc=124.  90 s covers
+    # a healthy-but-cold attach (~40-60 s worst observed).
     probe_src = os.environ.get(
         "DROID_BENCH_PROBE_SRC",
-        "import jax; print('NDEV=%d' % len(jax.devices()), flush=True)")
+        "import jax, jax.numpy as jnp; "
+        "x = float(jnp.ones((256, 256)).sum()); "
+        "print('NDEV=%d' % len(jax.devices()), flush=True)")
     for attempt in range(1, probes + 1):
         t0 = time.time()
         rec = {"ts": t0, "attempt": attempt, "probes": probes,

@@ -65,4 +65,8 @@ def test_default_probe_budget_is_fast():
     p = sig.parameters
     worst = (p["probes"].default * p["probe_timeout_s"].default
              + (p["probes"].default - 1) * p["backoff_s"].default)
-    assert worst <= 120, worst
+    # 90 s/probe since the probe EXECUTES an op (a healthy-but-cold
+    # relay attach takes ~40-60 s; an enumeration-only probe passed
+    # while executions hung forever on 08-20) — worst case ~3.2 min,
+    # still far inside the driver's capture timeout
+    assert worst <= 240, worst
